@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish parquet tables
+  * (`/root/repo/TESTDATA.md`). One parquet file per table under a
+  * scale-factor directory.
+  *
+  * Scale notes: at 100 TB the fact tables (`lineitem`, `orders`,
+  * `events`) are huge while `region`/`nation` are tiny and
+  * `customer`/`supplier`/`part` are mid-size. Readers here stay plain
+  * parquet scans so Catalyst can push filters/column pruning into the
+  * scan; join-side broadcast decisions are made per-query (explicit
+  * `broadcast()` on the dims that are guaranteed small at any scale).
+  */
+final class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = t("region")     // 5 rows, fixed
+  def nation: DataFrame     = t("nation")     // 25 rows, fixed
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark 4 rejects
+    * outright; read nanos as long and rebuild a micros TimestampType
+    * (integer `div` keeps it exact — the data is micro-precision).
+    */
+  def events: DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+}

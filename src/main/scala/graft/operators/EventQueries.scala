@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream analytics in batch form over the `events` table. The
+  * same logic runs incrementally in [[graft.streaming.StreamOps]] via
+  * Structured Streaming (watermark + windows / stateful sessionization);
+  * the batch forms here are the oracle-checkable equivalents.
+  *
+  * Scale design: sessionization is a single shuffle on `user_id`
+  * followed by two window passes over the same partitioning (Spark
+  * reuses the exchange); the tumbling-window agg is one partial+final
+  * hash aggregate keyed on (bucket, type) — both shapes hold at 100 TB
+  * because state per key is O(1) and keys are well-distributed.
+  */
+object EventQueries {
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  val all: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // q20 — sessionization: 30-minute inactivity gap, lag + running sum.
+    QueryDef.sql(
+      "q20_sessionize",
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM flagged)
+        |SELECT user_id, MAX(sid) AS n_sessions, COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).events
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+        .withColumn("sid", sum(col("is_new")).over(wRun))
+        .groupBy(col("user_id"))
+        .agg(max(col("sid")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q21 — tumbling-window aggregation (batch form of the streaming
+    // windowed agg): hourly count + exact-decimal value sum per type.
+    QueryDef.sql(
+      "q21_hourly_event_agg",
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast(DoubleType).as("total_value"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+
+    // ------------------------------------------------------------------
+    // q22 — sliding analytics: per-user running value stats via window
+    // frames (lag/lead/moving sum — beyond the reference's single W1).
+    QueryDef.sql(
+      "q22_user_running_value",
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum,
+        |  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS event_seq
+        |FROM events
+        |WHERE user_id < 5
+        |ORDER BY user_id, event_seq""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir).events
+        .filter(col("user_id") < 5)
+        .select(col("user_id"), col("event_id"),
+          sum(dec2(col("value"))).over(w.rowsBetween(-2, Window.currentRow))
+            .cast(DoubleType).as("moving_sum"),
+          count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("event_seq"))
+        .orderBy(col("user_id"), col("event_seq"))
+    }
+  )
+}
