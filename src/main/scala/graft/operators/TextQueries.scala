@@ -1,8 +1,260 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, DoubleType, IntegerType}
 
-/** Text-analysis + dedup operators over `documents` (filled in wave 3). */
+/** Text-analysis + deduplication operators over `documents` — the
+  * training-data-pipeline surface: token/quality stats, heuristic
+  * language-ID, exact dedup by content fingerprint, MinHash
+  * signatures + LSH banding for near-dup candidates, SimHash, and
+  * blocked n-gram Jaccard verification. Every query is paired with an
+  * exactly-equivalent DuckDB oracle.
+  *
+  * Scale design notes (100 TB): the shingle/token explosions are
+  * immediately re-aggregated with partial (map-side) min/sum combine,
+  * so the shuffle carries one row per (doc, aggregate), not per
+  * shingle; exact dedup shuffles on a 128-bit fingerprint (uniform,
+  * skew-free); the pairwise Jaccard join is *blocked* (lang, source)
+  * — at real scale the LSH-candidates operator is the intended path
+  * and the pairwise join runs only on its small candidate set.
+  */
 object TextQueries {
-  val all: Seq[QueryDef] = Seq.empty
+
+  private val langsSql: String = langStopwords.map { case (lang, words) =>
+    s"len(list_filter(string_split(text,' '), t -> t IN (${words.map(w => s"'$w'").mkString(",")}))) AS h_$lang"
+  }.mkString(",\n  ")
+
+  /** Four salted MinHash aggregates (same salts both engines). */
+  private val minhashSaltCount = 4
+  private def mhSqlCols: String =
+    (1 to minhashSaltCount).map(j => s"min(md5('$j|' || s)) AS mh$j").mkString(", ")
+
+  private val shinglesSql =
+    """SELECT doc_id,
+      |  unnest(list_transform(range(1, greatest(len(string_split(text,' '))-1,1)),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS s
+      |FROM documents""".stripMargin
+
+  private def sigSql =
+    s"SELECT doc_id, $mhSqlCols FROM ($shinglesSql) GROUP BY doc_id"
+
+  private val simhashBits = 16
+  private val hiHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+
+  val all: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // q23 — per-document token/quality statistics.
+    QueryDef.sql(
+      "q23_text_stats",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS n_distinct,
+        |  CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE) / len(string_split(text,' ')) AS avg_token_len,
+        |  (CAST(least(len(string_split(text,' ')), 100) AS DOUBLE) / 100)
+        |    * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' '))) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        distinctTokenCount(col("text")).as("n_distinct"),
+        avgTokenLen(col("text")).as("avg_token_len"),
+        qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q24 — heuristic language-ID: stopword-hit argmax with fixed
+    // priority tiebreak ("und" when nothing matches).
+    QueryDef.sql(
+      "q24_lang_id",
+      s"""WITH h AS (SELECT doc_id,
+         |  $langsSql
+         |FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN h_en + h_es + h_de + h_fr = 0 THEN 'und'
+         |       WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+         |       WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+         |       WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+         |       ELSE 'fr' END AS lang_pred,
+         |  CAST(h_en AS INTEGER) AS h_en, CAST(h_es AS INTEGER) AS h_es,
+         |  CAST(h_de AS INTEGER) AS h_de, CAST(h_fr AS INTEGER) AS h_fr
+         |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val withHits = langStopwords.foldLeft(d) { case (df, (lang, words)) =>
+        df.withColumn(s"h_$lang", stopwordHits(col("text"), words))
+      }
+      withHits.select(
+        col("doc_id"),
+        langId(col("text")).as("lang_pred"),
+        col("h_en"), col("h_es"), col("h_de"), col("h_fr"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q25 — exact dedup via content fingerprint (md5 of UTF-8 bytes):
+    // canonical = lowest doc_id per group.
+    QueryDef.sql(
+      "q25_dedup_exact",
+      """SELECT md5(text) AS fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("fp"))
+    },
+
+    // ------------------------------------------------------------------
+    // q26 — MinHash signatures over word-3-gram shingles (4 salted
+    // hash functions; map-side min combine keeps the shuffle tiny).
+    QueryDef.sql(
+      "q26_minhash_signature",
+      s"$sigSql ORDER BY doc_id") { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val sh = docs.select(col("doc_id"),
+        explode(wordShingles(col("text"), 3)).as("s"))
+      sh.groupBy(col("doc_id"))
+        .agg(
+          min(md5(concat(lit("1|"), col("s")).cast(BinaryType))).as("mh1"),
+          (2 to minhashSaltCount).map(j =>
+            min(md5(concat(lit(s"$j|"), col("s")).cast(BinaryType))).as(s"mh$j")): _*)
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q27 — LSH banding over the MinHash signature (2 bands × 2 rows):
+    // near-dup candidate pairs = docs sharing either full band.
+    QueryDef.sql(
+      "q27_lsh_candidates",
+      s"""WITH sig AS ($sigSql)
+         |SELECT doc_a, doc_b FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
+         |    ON a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
+         |    ON a.mh3 = b.mh3 AND a.mh4 = b.mh4 AND a.doc_id < b.doc_id)
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val sig = docs.select(col("doc_id"),
+        explode(wordShingles(col("text"), 3)).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(
+          min(md5(concat(lit("1|"), col("s")).cast(BinaryType))).as("mh1"),
+          (2 to minhashSaltCount).map(j =>
+            min(md5(concat(lit(s"$j|"), col("s")).cast(BinaryType))).as(s"mh$j")): _*)
+      def band(c1: String, c2: String) = {
+        val a = sig.select(col("doc_id").as("doc_a"), col(c1).as("b1"), col(c2).as("b2"))
+        val b = sig.select(col("doc_id").as("doc_b"), col(c1).as("b1"), col(c2).as("b2"))
+        a.join(b, Seq("b1", "b2")).filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
+      }
+      band("mh1", "mh2").union(band("mh3", "mh4")).distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ------------------------------------------------------------------
+    // q28 — 16-bit SimHash from per-token md5 high-bits (sign-sum per
+    // bit position, reconstructed as a BIGINT signature).
+    QueryDef.sql(
+      "q28_simhash", {
+        val bitSums = (1 to simhashBits).map(j =>
+          s"SUM(CASE WHEN substr(md5(t), $j, 1) IN (${hiHex.map(h => s"'$h'").mkString(",")}) THEN 1 ELSE -1 END) AS s_$j")
+          .mkString(",\n  ")
+        val recon = (1 to simhashBits).map(j =>
+          s"CASE WHEN s_$j > 0 THEN ${1L << (j - 1)} ELSE 0 END").mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+           |bits AS (SELECT doc_id,
+           |  $bitSums
+           |FROM tok GROUP BY doc_id)
+           |SELECT doc_id, CAST($recon AS BIGINT) AS simhash FROM bits ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val tok = Tables(s, dir).documents
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .withColumn("hx", md5(col("t").cast(BinaryType)))
+      val bitCols = (1 to simhashBits).map(j =>
+        sum(when(substring(col("hx"), j, 1).isin(hiHex: _*), 1).otherwise(-1)).as(s"s_$j"))
+      val bits = tok.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+      bits.select(col("doc_id"),
+        (1 to simhashBits).map(j =>
+          when(col(s"s_$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q29 — blocked character-3-gram Jaccard near-dup verification:
+    // pairwise only within (lang, source) blocks, threshold 0.6.
+    QueryDef.sql(
+      "q29_ngram_jaccard_pairs",
+      """WITH g AS (
+        |  SELECT doc_id, lang, source,
+        |    unnest(list_distinct(list_transform(range(1, greatest(length(text)-1, 1)),
+        |      i -> substr(text, i, 3)))) AS gram
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.lang AS lang, a.source AS source,
+        |    a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.lang = b.lang
+        |    AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT lang, source, doc_a, doc_b,
+        |  CAST(overlap AS DOUBLE) / (sa.sz + sb.sz - overlap) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(overlap AS DOUBLE) / (sa.sz + sb.sz - overlap) >= 0.6
+        |ORDER BY lang, source, doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val g = docs.select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(charNgrams(col("text"), 3))).as("gram"))
+      val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val a = g.select(col("lang"), col("source"), col("doc_id").as("doc_a"), col("gram"))
+      val b = g.select(col("lang").as("lang_b"), col("source").as("source_b"),
+        col("doc_id").as("doc_b"), col("gram").as("gram_b"))
+      val inter = a.join(b,
+        col("gram") === col("gram_b") && col("lang") === col("lang_b") &&
+          col("source") === col("source_b") && col("doc_a") < col("doc_b"))
+        .groupBy(col("lang"), col("source"), col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("overlap"))
+      val jac = inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+        .withColumn("jaccard",
+          col("overlap").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("overlap")))
+        .filter(col("jaccard") >= 0.6)
+      jac.select("lang", "source", "doc_a", "doc_b", "jaccard")
+        .orderBy(col("lang"), col("source"), col("doc_a"), col("doc_b"))
+    },
+
+    // ------------------------------------------------------------------
+    // q32 — multimodal binary plumbing: opaque bytes + typed metadata
+    // (length + sha256 fingerprint) — the oracle-checkable slice of
+    // [[graft.multimodal.MultimodalOps]].
+    QueryDef.sql(
+      "q32_multimodal_binary",
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        length(col("text").cast(BinaryType)).as("byte_len"),
+        sha2(col("text").cast(BinaryType), 256).as("sha"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q34 — corpus token frequency top-20 (explode + count + top-k).
+    QueryDef.sql(
+      "q34_top_tokens",
+      """SELECT t AS token, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text,' ')) AS t FROM documents)
+        |GROUP BY t ORDER BY n DESC, token LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }
+  )
 }

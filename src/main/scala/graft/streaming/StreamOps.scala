@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Structured-Streaming forms of the event analytics: the same logic
+  * as the batch queries in [[graft.operators.EventQueries]], expressed
+  * incrementally. The reference's "streaming" was an hourly batch
+  * re-run (`/root/reference/src/main.py:156`); these are the genuine
+  * continuous equivalents.
+  *
+  * State design for scale: windowed aggs carry O(#open windows × #keys)
+  * state bounded by the watermark; sessionization keys state by
+  * user_id with an explicit inactivity timeout, so state size tracks
+  * *active* users only.
+  */
+object StreamOps {
+
+  /** Tumbling-window count+sum per event type with a watermark; works
+    * on any streaming DataFrame with (ts: timestamp, event_type,
+    * value) — batch DataFrames too (same plan, identical results).
+    */
+  def windowedEventAgg(
+      events: DataFrame,
+      window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("win.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  final case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long)
+  final case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
+  /** Stateful sessionization via flatMapGroupsWithState with an
+    * event-time timeout: a session closes either when a later event
+    * for the same user arrives past the gap, or when the watermark
+    * passes `lastTs + gap` (idle-user flush). State is therefore
+    * bounded by the watermark — the shape that holds at 100 TB/day.
+    * Batch equivalent: the lag/running-sum form in EventQueries.q20.
+    */
+  def sessionize(
+      spark: SparkSession,
+      events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+    import spark.implicits._
+
+    def flush(userId: Long, st: SessionState): SessionOut =
+      SessionOut(userId, new Timestamp(st.sessionStart), new Timestamp(st.lastTs), st.nEvents)
+
+    events.toDF()
+      .withWatermark("ts", s"${gapMs / 1000} seconds")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(flush(userId, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.orNull
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              st match {
+                case null =>
+                  st = SessionState(t, t, 1)
+                case s if t - s.lastTs > gapMs =>
+                  closed += flush(userId, s)
+                  st = SessionState(t, t, 1)
+                case s =>
+                  st = s.copy(lastTs = t, nEvents = s.nEvents + 1)
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastTs + gapMs)
+            }
+            closed.result().iterator
+          }
+        })
+  }
+}

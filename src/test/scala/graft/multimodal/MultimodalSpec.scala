@@ -1,0 +1,46 @@
+package graft.multimodal
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+
+  test("asMedia: binary payload + typed metadata schema") {
+    val media = MultimodalOps.asMedia(docs)
+    // same names/types; nullability depends on the input source
+    def shape(s: org.apache.spark.sql.types.StructType): Seq[(String, String)] =
+      s.fields.toSeq.map(f => f.name -> f.dataType.simpleString)
+    assert(shape(media.schema) == shape(MultimodalOps.mediaSchema))
+    val r = media.orderBy("media_id").head()
+    val meta = r.getStruct(2)
+    assert(meta.getAs[Int]("byte_len") > 0)
+    assert(meta.getAs[String]("sha").length == 64)
+  }
+
+  test("featurize: partition-local decode stub yields fixed-size deterministic vectors") {
+    val media = MultimodalOps.asMedia(docs)
+    val f1 = MultimodalOps.featurize(spark, media).collect().sortBy(_.media_id)
+    val f2 = MultimodalOps.featurize(spark, media.repartition(7)).collect().sortBy(_.media_id)
+    assert(f1.length == 50)
+    assert(f1.forall(_.features.length == 8))
+    // partitioning must not change the result (narrow, row-local op)
+    assert(f1.zip(f2).forall { case (a, b) => a.features.sameElements(b.features) })
+    // features are byte means → within [0, 255]
+    assert(f1.forall(_.features.forall(v => v >= 0f && v <= 255f)))
+  }
+
+  test("frameSample: n evenly spaced byte slices") {
+    val media = MultimodalOps.asMedia(docs)
+    val sampled = media.select(col("media_id"),
+      MultimodalOps.frameSample(col("payload"), n = 4, width = 8).as("frames"))
+    val r = sampled.head()
+    val frames = r.getSeq[Array[Byte]](1)
+    assert(frames.length == 4)
+    assert(frames.forall(_.length <= 8))
+  }
+}

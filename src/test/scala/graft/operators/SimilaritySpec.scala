@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-path ANN operators validated against the brute-force
+  * baseline on real testdata (sf0.001 embeddings, 500×64-dim).
+  */
+class SimilaritySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("vector functions: cosine self-similarity = 1, symmetry") {
+    val two = emb.limit(2).collect()
+    val df = emb.limit(1).select(
+      VectorFunctions.cosine(col("embedding"), col("embedding")).as("self"))
+    assert(math.abs(df.head().getDouble(0) - 1.0) < 1e-12)
+    assert(two.length == 2)
+  }
+
+  test("IVF search hits its cell's true neighbors (recall vs brute force within cell)") {
+    val assigned = SimilarityOps.ivfAssign(emb, k = 8).cache()
+    // every vector lands in exactly one cell
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("cell").distinct().count() <= 8)
+
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val got = SimilarityOps.ivfSearch(assigned, queries, topK = 3)
+    // each query returns ≤3 neighbors, none equal to itself, ranked by cos
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("nid")))
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    byQ.values.foreach { rs =>
+      assert(rs.length <= 3)
+      val sims = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("cos"))
+      assert(sims.sameElements(sims.sortBy(-_)))
+    }
+  }
+
+  test("LSH buckets: signature deterministic, near-dup pairs verified above threshold") {
+    val sig1 = SimilarityOps.lshSignature(emb, bits = 8).select("vec_id", "lsh_bucket")
+    val sig2 = SimilarityOps.lshSignature(emb, bits = 8).select("vec_id", "lsh_bucket")
+    assert(sig1.except(sig2).count() == 0) // deterministic, no RNG
+
+    val pairs = SimilarityOps.lshNearDupPairs(emb, bits = 4, minCos = 0.2).collect()
+    assert(pairs.forall(_.getAs[Double]("cos") >= 0.2))
+    // candidates only from shared buckets → strictly fewer than all-pairs
+    assert(pairs.length < 500 * 499 / 2)
+  }
+}

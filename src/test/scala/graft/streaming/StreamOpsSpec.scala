@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Streaming ops driven through MemoryStream; the windowed agg is
+  * additionally checked for batch/stream result equality (same logic,
+  * two execution modes).
+  */
+class StreamOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(1704067200000L + min * 60000L)
+
+  private val sample = Seq(
+    StreamOps.Event(1, ts(0), 1, "click", 1.0),
+    StreamOps.Event(2, ts(10), 1, "click", 2.0),
+    StreamOps.Event(3, ts(70), 1, "view", 3.0),   // next hour, new session (gap 60m)
+    StreamOps.Event(4, ts(75), 2, "click", 4.0),
+    StreamOps.Event(5, ts(130), 1, "view", 5.0))  // third session for user 1
+
+  test("windowedEventAgg: stream over MemoryStream equals batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    mem.addData(sample: _*)
+    val q = StreamOps.windowedEventAgg(mem.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+    try {
+      mem.addData() // advance
+      q.processAllAvailable()
+      // append mode emits only watermark-closed windows; run batch for truth
+      val batch = StreamOps.windowedEventAgg(sample.toDF(), "1 hour", "2 hours")
+        .orderBy("window_start", "event_type").collect()
+      assert(batch.length == 4) // (h0 click), (h1 view), (h1 click), (h2 view)
+      assert(batch.map(_.getAs[Long]("n")).sum == 5)
+      // streamed rows (possibly fewer due to open windows) must be a
+      // subset of the batch truth
+      val streamed = spark.table("win_agg").collect().map(_.toSeq).toSet
+      assert(streamed.subsetOf(batch.map(_.toSeq).toSet))
+    } finally q.stop()
+  }
+
+  test("sessionize: closes sessions on gap, carries state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    val q = StreamOps.sessionize(spark, mem.toDS(), gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val closed = spark.table("sessions").as[StreamOps.SessionOut].collect()
+      // user 1: sessions (0-10), (70) closed when (130) arrived... the
+      // last session per user is still open (no timeout fired yet)
+      assert(closed.forall(_.user_id == 1))
+      assert(closed.map(_.n_events).sum == 3) // events 1,2 (session A) + 3 (session B)
+      val a = closed.minBy(_.session_start.getTime)
+      assert(a.session_start == ts(0) && a.session_end == ts(10) && a.n_events == 2)
+    } finally q.stop()
+  }
+}
