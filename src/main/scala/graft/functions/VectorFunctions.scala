@@ -16,9 +16,16 @@ import org.apache.spark.sql.types.DoubleType
 object VectorFunctions {
 
   /** Σ aᵢ·bᵢ in double precision (per-element float32 multiply widened
-    * to double, sequential fold).
+    * to double, sequential fold) — the codegen'd [[Float32Dot]]
+    * expression; [[dotHof]] is the composable-builtins equivalent.
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = Float32Dot(a, b)
+
+  /** Same semantics as [[dot]] via built-in higher-order functions —
+    * kept as the portable/reference form (and to cross-check the
+    * native expression in tests). ~100× slower per row.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x * y).cast(DoubleType)),
       lit(0.0),

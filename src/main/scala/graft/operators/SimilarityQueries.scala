@@ -39,13 +39,17 @@ object SimilarityQueries {
          |SELECT qid, nid, cos FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
          |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+      // norms computed once per vector, not once per pair (arithmetic
+      // identical: dot/sqrt(nsq_q * nsq_n))
       val e = Tables(s, dir).embeddings
+        .withColumn("nsq", VectorFunctions.normSq(col("embedding")))
       val q = e.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val n = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nsq").as("qnsq"))
+      val n = e.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("nsq").as("nnsq"))
       val scored = q.join(n, col("qid") =!= col("nid"))
         .select(col("qid"), col("nid"),
-          VectorFunctions.cosine(col("qv"), col("nv")).cast(FloatType).as("cos"))
+          (VectorFunctions.dot(col("qv"), col("nv")) / sqrt(col("qnsq") * col("nnsq")))
+            .cast(FloatType).as("cos"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
         .select("qid", "nid", "cos")
@@ -64,11 +68,13 @@ object SimilarityQueries {
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir).embeddings
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        .withColumn("nsq", VectorFunctions.normSq(col("embedding")))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nsq").as("ansq"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nsq").as("bnsq"))
       a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          VectorFunctions.cosine(col("va"), col("vb")).cast(FloatType).as("cos"))
+          (VectorFunctions.dot(col("va"), col("vb")) / sqrt(col("ansq") * col("bnsq")))
+            .cast(FloatType).as("cos"))
         .filter(col("cos") >= 0.35)
         .orderBy(col("id_a"), col("id_b"))
     }

@@ -14,6 +14,17 @@ class SimilaritySpec extends AnyFunSuite {
   private lazy val emb =
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  test("Float32Dot native expression equals the higher-order-function form bit-exactly") {
+    val pairs = emb.limit(50).select(col("vec_id").as("a"), col("embedding").as("va"))
+      .crossJoin(emb.limit(50).select(col("vec_id").as("b"), col("embedding").as("vb")))
+    val diff = pairs.select(
+      VectorFunctions.dot(col("va"), col("vb")).as("native"),
+      VectorFunctions.dotHof(col("va"), col("vb")).as("hof"))
+      .filter(!(col("native") <=> col("hof")))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("vector functions: cosine self-similarity = 1, symmetry") {
     val two = emb.limit(2).collect()
     val df = emb.limit(1).select(
