@@ -16,6 +16,7 @@ object SparkEntry {
       operators.EventQueries.all ++
       operators.TextQueries.all ++
       operators.SimilarityQueries.all ++
+      operators.ExtendedQueries.all ++
       operators.FlightQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
