@@ -17,6 +17,7 @@ object SparkEntry {
       operators.TextQueries.all ++
       operators.SimilarityQueries.all ++
       operators.ExtendedQueries.all ++
+      operators.AdvancedQueries.all ++
       operators.FlightQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Operators beyond plain relational algebra: as-of join (oracled via
+  * DuckDB's native ASOF JOIN) and sketch-based approximate distinct
+  * (rows-only check — sketches differ across engines by design; the
+  * accuracy contract is tested in ScalaTest against exact counts).
+  */
+object AdvancedQueries {
+
+  val all: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // q42 — left as-of join: per event, the most recent order (by
+    // order date) of the matching customer. Right side pre-aggregated
+    // unique per (key, time) so tie semantics are explicit.
+    QueryDef.sql(
+      "q42_asof_join",
+      """WITH o AS (
+        |  SELECT o_custkey AS k, o_orderdate AS t, MAX(o_orderkey) AS okey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, o.okey AS asof_okey, o.t AS asof_t
+        |FROM events e ASOF LEFT JOIN o ON e.user_id = o.k AND o.t <= e.ts
+        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val o = t.orders.groupBy(col("o_custkey").as("k"), col("o_orderdate").as("t"))
+        .agg(max(col("o_orderkey")).as("okey"))
+      val e = t.events.select(col("event_id"), col("user_id"), col("ts"))
+      AsOfJoin.leftAsOf(e, o,
+        leftKey = "user_id", rightKey = "k",
+        leftTime = "ts", rightTime = "t",
+        payload = Seq("okey", "t"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_okey"), col("asof_t"))
+        .orderBy(col("event_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q43 — HLL-sketch approximate distinct: engines' sketches differ,
+    // so the driver records rows-only; SimilaritySpec-style accuracy
+    // vs exact is covered in AdvancedOpsSpec.
+    QueryDef.rowsOnly("q43_approx_distinct") { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("l_returnflag"))
+    }
+  )
+}
