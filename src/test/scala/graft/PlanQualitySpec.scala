@@ -1,0 +1,66 @@
+package graft
+
+import graft.flight.FlightModel.{Airline, Airport, Flight}
+import graft.flight.FlightEtl
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression guards: these assert the *physical plan*
+  * properties the 100 TB design depends on — filters reaching the
+  * parquet scan, column pruning, broadcast dims, no Python/row-UDF
+  * eval nodes — so a refactor that silently regresses the plan fails
+  * CI, not the cluster.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q01: shipdate filter is pushed to the parquet scan, columns pruned") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // scan reads only the 7 needed columns, not the full 11-column table
+    val scanLine = p.linesIterator.find(_.contains("FileScan parquet")).get
+    assert(!scanLine.contains("l_orderkey"))
+    assert(scanLine.contains("l_returnflag"))
+  }
+
+  test("q05: all dim joins are broadcast, none sort-merge") {
+    val p = plan("q05_region_revenue")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 4)
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)"))
+  }
+
+  test("gold enrichment: three broadcast joins, zero UDF/Python eval nodes") {
+    val flights = Seq(
+      Flight("f1", "A359", Some(1713453442), Some(1f), Some(2f), "SIN", "JFK", "SQ24", Some(0), "SIA")).toDF()
+    val airports = Seq(
+      Airport("Changi", "SIN", Some(1.35f), Some(103.99f), "Singapore"),
+      Airport("JFK Intl", "JFK", Some(40.64f), Some(-73.78f), "United States")).toDF()
+    val airlines = Seq(Airline("Singapore Airlines", "SIA")).toDF()
+    val p = FlightEtl.gold(flights, airports, airlines).queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 3)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+  }
+
+  test("q31: norms computed scan-side (once per vector), native dot in plan") {
+    val p = plan("q31_embedding_sim_pairs")
+    // the self-norm projection sits below the join, over the scan
+    assert(p.contains("float32dot(embedding"))
+    assert(p.contains("float32dot(va"))
+  }
+
+  test("no query plan contains a collect-driven loop (Exchange-only shuffles)") {
+    // structural smoke over every registered query at tiny SF: the plan
+    // tree must build lazily without driver-side actions
+    SparkEntry.queries.keys.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      assert(df.queryExecution.logical != null, name)
+    }
+  }
+}
