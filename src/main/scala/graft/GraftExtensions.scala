@@ -1,9 +1,9 @@
 package graft
 
-import graft.functions.Float32Dot
+import graft.functions.{CharNgramsDistinct, Float32Dot, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions so `spark.sql(...)` users get
@@ -17,25 +17,42 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("float32_dot"),
-      new ExpressionInfo(classOf[Float32Dot].getName, "float32_dot"),
-      GraftExtensions.mkFloat32Dot))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, mk) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        mk))
+    }
 }
 
 object GraftExtensions {
-  private val mkFloat32Dot: Seq[Expression] => Expression = { children =>
-    require(children.size == 2, "float32_dot(a, b) takes exactly 2 arguments")
-    Float32Dot(children.head, children(1))
+
+  private def intArg(name: String, e: Expression): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(s"$name: n must be an integer literal, got $other")
   }
+
+  private[graft] val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "float32_dot" -> { children =>
+      require(children.size == 2, "float32_dot(a, b) takes exactly 2 arguments")
+      Float32Dot(children.head, children(1))
+    },
+    "char_ngrams_distinct" -> { children =>
+      require(children.size == 2, "char_ngrams_distinct(text, n) takes exactly 2 arguments")
+      CharNgramsDistinct(children.head, intArg("char_ngrams_distinct", children(1)))
+    },
+    "word_shingles" -> { children =>
+      require(children.size == 2, "word_shingles(text, n) takes exactly 2 arguments")
+      WordShingles(children.head, intArg("word_shingles", children(1)))
+    })
 
   /** Register on an already-running session (builder-time extensions
     * are impossible once a session exists, e.g. shared test sessions
     * or notebooks).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "float32_dot", mkFloat32Dot, "built-in")
+    functions.foreach { case (name, mk) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, mk, "built-in")
+    }
 }

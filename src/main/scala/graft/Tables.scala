@@ -34,6 +34,21 @@ final class Tables(spark: SparkSession, dir: String) {
     t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents: DataFrame  = t("documents")
+
+  /** `documents` spread across the cluster for compute-heavy per-row
+    * work (shingling, hashing, n-gram explosion). The corpus files are
+    * small enough that a scan can land in one input split, serializing
+    * everything downstream on a single task; a hash repartition on the
+    * key costs one tiny shuffle of raw text and buys full parallelism.
+    * At real scale the scan already has many splits and this becomes a
+    * cheap no-op-shaped exchange — still correct, never harmful.
+    */
+  def documentsSpread: DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val n = spark.sparkContext.defaultParallelism
+    documents.repartition(n, col("doc_id"))
+  }
+
   def embeddings: DataFrame = t("embeddings")
 }
 

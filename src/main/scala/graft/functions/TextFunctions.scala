@@ -20,17 +20,27 @@ object TextFunctions {
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
-  /** Word n-gram shingles: `["a b c", "b c d", ...]`; empty when the
-    * document has fewer than `n` tokens.
+  /** Word n-gram shingles from a pre-materialized token-array column:
+    * `["a b c", "b c d", ...]`; empty when the document has fewer than
+    * `n` tokens. `toks` must be a bound column (project `tokens(text)`
+    * first): inlining `split` here would re-evaluate it for every
+    * shingle index inside the higher-order lambda — O(tokens²) per
+    * document.
     */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column = {
     val cnt = size(toks)
     when(cnt >= n,
       transform(sequence(lit(1), cnt - (n - 1)),
         i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Word n-gram shingles straight from text — convenience for tiny
+    * inputs; hot paths should project the token array and use
+    * [[shinglesFromTokens]].
+    */
+  def wordShingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** Character n-grams (with duplicates); 1-based substring, so it
     * mirrors `substr(text, i, n)` in SQL exactly.

@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-level kernels for the hot text-pipeline paths.
+  *
+  * The composable higher-order forms (`transform(sequence(...), ...)`
+  * + `array_distinct`, `concat_ws` over `element_at`) evaluate an
+  * interpreted lambda per *element*, costing ~1 ms per 300-char
+  * document — the dominant cost of the dedup/minhash operators at
+  * corpus scale. Each kernel below is one JVM call per *row* running a
+  * tight loop over the document's bytes, emitted inside whole-stage
+  * codegen. Results are bit-identical to the composable forms (and to
+  * the DuckDB oracle SQL documented on each query).
+  */
+object TextKernels {
+
+  /** Distinct character n-grams in first-occurrence order ==
+    * `array_distinct(transform(sequence(1, length(s)-n+1), i -> substr(s,i,n)))`.
+    * Character (codepoint) positions, like SQL `substr`.
+    */
+  def charNgramsDistinct(s: UTF8String, n: Int): ArrayData = {
+    val len = s.numChars()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](Math.min(len, 1024))
+    var i = 1
+    while (i <= len - n + 1) {
+      seen.add(s.substringSQL(i, n))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Word n-gram shingles over single-space tokenization ==
+    * `transform(sequence(1, size(split(s,' '))-n+1), i -> concat_ws(' ', tok(i)..tok(i+n-1)))`.
+    *
+    * Because the separator is a single space, each shingle is exactly
+    * the byte range of the original text from the start of token `i`
+    * to the end of token `i+n-1` (this also holds with consecutive
+    * spaces / empty tokens, which `split` keeps) — so the kernel just
+    * records token byte offsets and slices, no joining.
+    */
+  def wordShingles(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes // copy only when the UTF8String is offset into a larger buffer
+    val nb = bytes.length
+    // token start offsets: 0 and every position after a 0x20 byte
+    // (0x20 never occurs inside a multi-byte UTF-8 sequence)
+    var tokens = 1
+    var i = 0
+    while (i < nb) { if (bytes(i) == 0x20) tokens += 1; i += 1 }
+    if (tokens < n) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](tokens + 1) // sentinel: starts(tokens) = nb + 1
+    var t = 1
+    i = 0
+    while (i < nb) {
+      if (bytes(i) == 0x20) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(tokens) = nb + 1
+    val out = new Array[Any](tokens - n + 1)
+    var k = 0
+    while (k <= tokens - n) {
+      val from = starts(k)
+      val until = starts(k + n) - 1 // end of token k+n-1 (strip the following space / sentinel)
+      out(k) = UTF8String.fromBytes(bytes, from, until - from)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Base for the kernel-backed array<string> expressions: null-safe,
+  * codegen emits a single static call per row.
+  */
+abstract class TextKernelExpression extends UnaryExpression {
+  def kernelName: String
+  def n: Int
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input, got $other")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.$kernelName($c, $n)")
+}
+
+/** See [[TextKernels.charNgramsDistinct]]. */
+case class CharNgramsDistinct(child: Expression, n: Int) extends TextKernelExpression {
+  override def kernelName: String = "charNgramsDistinct"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.charNgramsDistinct(input.asInstanceOf[UTF8String], n)
+  override protected def withNewChildInternal(newChild: Expression): CharNgramsDistinct =
+    copy(child = newChild)
+}
+
+/** See [[TextKernels.wordShingles]]. */
+case class WordShingles(child: Expression, n: Int) extends TextKernelExpression {
+  override def kernelName: String = "wordShingles"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.wordShingles(input.asInstanceOf[UTF8String], n)
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object CharNgramsDistinct {
+  def apply(text: Column, n: Int): Column =
+    ColumnBridge.column(CharNgramsDistinct(ColumnBridge.expression(text), n))
+}
+
+object WordShingles {
+  def apply(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+}

@@ -107,12 +107,12 @@ object ExtendedQueries {
         |  upper(p_brand) AS brand_uc,
         |  substr(p_name, 1, 8) AS name_prefix,
         |  p_brand || ':' || p_type AS brand_type,
-        |  length(p_name) AS name_len
+        |  CAST(length(p_name) AS INTEGER) AS name_len
         |FROM part
-        |WHERE p_type LIKE '%BRASS%' OR p_name LIKE 'part_1%'
+        |WHERE p_type LIKE '%ECO%' OR p_name LIKE 'red%'
         |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
       Tables(s, dir).part
-        .filter(col("p_type").like("%BRASS%") || col("p_name").like("part_1%"))
+        .filter(col("p_type").like("%ECO%") || col("p_name").like("red%"))
         .select(
           col("p_partkey"),
           upper(col("p_brand")).as("brand_uc"),

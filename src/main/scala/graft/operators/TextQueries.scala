@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
+import graft.functions.{CharNgramsDistinct, WordShingles}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, DoubleType, IntegerType}
 
@@ -26,10 +27,13 @@ object TextQueries {
     s"len(list_filter(string_split(text,' '), t -> t IN (${words.map(w => s"'$w'").mkString(",")}))) AS h_$lang"
   }.mkString(",\n  ")
 
-  /** Four salted MinHash aggregates (same salts both engines). */
-  private val minhashSaltCount = 4
+  /** Four MinHash functions = four disjoint 8-hex-char slices of ONE
+    * md5 per shingle (standard split-one-strong-hash trick): 4× less
+    * hashing than salted variants, and fixed-width slices keep
+    * min-aggregation state small. Identical construction both engines.
+    */
   private def mhSqlCols: String =
-    (1 to minhashSaltCount).map(j => s"min(md5('$j|' || s)) AS mh$j").mkString(", ")
+    (1 to 4).map(j => s"min(substr(md5(s), ${(j - 1) * 8 + 1}, 8)) AS mh$j").mkString(", ")
 
   private val shinglesSql =
     """SELECT doc_id,
@@ -39,6 +43,20 @@ object TextQueries {
 
   private def sigSql =
     s"SELECT doc_id, $mhSqlCols FROM ($shinglesSql) GROUP BY doc_id"
+
+  /** Shared MinHash-signature plan: tokenize once (bound column, see
+    * [[TextFunctions.shinglesFromTokens]]), one md5 per shingle, then a
+    * partial-aggregated min per slice — the shuffle carries one row per
+    * document, not per shingle.
+    */
+  private def minhashSig(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val hx = Tables(s, dir).documentsSpread
+      .select(col("doc_id"), explode(WordShingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), md5(col("s").cast(BinaryType)).as("hx"))
+    hx.groupBy(col("doc_id")).agg(
+      min(substring(col("hx"), 1, 8)).as("mh1"),
+      (2 to 4).map(j => min(substring(col("hx"), (j - 1) * 8 + 1, 8)).as(s"mh$j")): _*)
+  }
 
   private val simhashBits = 16
   private val hiHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
@@ -55,7 +73,7 @@ object TextQueries {
         |  (CAST(least(len(string_split(text,' ')), 100) AS DOUBLE) / 100)
         |    * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' '))) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Tables(s, dir).documents.select(
+      Tables(s, dir).documentsSpread.select(
         col("doc_id"),
         tokenCount(col("text")).as("n_tokens"),
         distinctTokenCount(col("text")).as("n_distinct"),
@@ -81,7 +99,7 @@ object TextQueries {
          |  CAST(h_en AS INTEGER) AS h_en, CAST(h_es AS INTEGER) AS h_es,
          |  CAST(h_de AS INTEGER) AS h_de, CAST(h_fr AS INTEGER) AS h_fr
          |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val d = Tables(s, dir).documents
+      val d = Tables(s, dir).documentsSpread
       val withHits = langStopwords.foldLeft(d) { case (df, (lang, words)) =>
         df.withColumn(s"h_$lang", stopwordHits(col("text"), words))
       }
@@ -111,15 +129,7 @@ object TextQueries {
     QueryDef.sql(
       "q26_minhash_signature",
       s"$sigSql ORDER BY doc_id") { (s, dir) =>
-      val docs = Tables(s, dir).documents
-      val sh = docs.select(col("doc_id"),
-        explode(wordShingles(col("text"), 3)).as("s"))
-      sh.groupBy(col("doc_id"))
-        .agg(
-          min(md5(concat(lit("1|"), col("s")).cast(BinaryType))).as("mh1"),
-          (2 to minhashSaltCount).map(j =>
-            min(md5(concat(lit(s"$j|"), col("s")).cast(BinaryType))).as(s"mh$j")): _*)
-        .orderBy(col("doc_id"))
+      minhashSig(s, dir).orderBy(col("doc_id"))
     },
 
     // ------------------------------------------------------------------
@@ -135,21 +145,17 @@ object TextQueries {
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
          |    ON a.mh3 = b.mh3 AND a.mh4 = b.mh4 AND a.doc_id < b.doc_id)
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val docs = Tables(s, dir).documents
-      val sig = docs.select(col("doc_id"),
-        explode(wordShingles(col("text"), 3)).as("s"))
-        .groupBy(col("doc_id"))
-        .agg(
-          min(md5(concat(lit("1|"), col("s")).cast(BinaryType))).as("mh1"),
-          (2 to minhashSaltCount).map(j =>
-            min(md5(concat(lit(s"$j|"), col("s")).cast(BinaryType))).as(s"mh$j")): _*)
-      def band(c1: String, c2: String) = {
-        val a = sig.select(col("doc_id").as("doc_a"), col(c1).as("b1"), col(c2).as("b2"))
-        val b = sig.select(col("doc_id").as("doc_b"), col(c1).as("b1"), col(c2).as("b2"))
-        a.join(b, Seq("b1", "b2")).filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b")
-      }
-      band("mh1", "mh2").union(band("mh3", "mh4")).distinct()
+      // Persist the signature: the band self-join scans it from cache
+      // instead of re-running the shingle/hash aggregation per side.
+      // Band key = concat of two fixed-width slices, so one equi-join
+      // over (band, key) replaces two separate band joins.
+      val sig = minhashSig(s, dir).persist()
+      val bands = sig.select(col("doc_id"), lit(1).as("band"), concat(col("mh1"), col("mh2")).as("bk"))
+        .unionAll(sig.select(col("doc_id"), lit(2).as("band"), concat(col("mh3"), col("mh4")).as("bk")))
+      val a = bands.select(col("band"), col("bk"), col("doc_id").as("doc_a"))
+      val b = bands.select(col("band"), col("bk"), col("doc_id").as("doc_b"))
+      a.join(b, Seq("band", "bk")).filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -169,7 +175,7 @@ object TextQueries {
            |FROM tok GROUP BY doc_id)
            |SELECT doc_id, CAST($recon AS BIGINT) AS simhash FROM bits ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
-      val tok = Tables(s, dir).documents
+      val tok = Tables(s, dir).documentsSpread
         .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
         .withColumn("hx", md5(col("t").cast(BinaryType)))
       val bitCols = (1 to simhashBits).map(j =>
@@ -204,24 +210,40 @@ object TextQueries {
         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(overlap AS DOUBLE) / (sa.sz + sb.sz - overlap) >= 0.6
         |ORDER BY lang, source, doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val docs = Tables(s, dir).documents
+      // The O(pairs·shared-grams) intermediate is unavoidable for exact
+      // verification, so make each row as narrow as possible: fold the
+      // (lang, source, gram) 3-string join key into one xxhash64 long
+      // (the key never reaches the output; a 64-bit collision across
+      // ~10⁵ distinct keys is ~1e-10 — negligible), count pairs over
+      // two longs, and re-attach block labels + distinct-gram sizes
+      // from small per-document dims via broadcast joins afterwards.
+      // sz comes straight from size(array_distinct(...)) on the scan —
+      // no second explode/aggregate pass over the grams.
+      // Each document's distinct-gram size rides along on the gram rows
+      // (4 bytes per row), so overlap AND both sizes come out of the one
+      // pair aggregation — no second pass over the grams and no
+      // per-document dim subplans to broadcast. Only the final tiny
+      // result (pairs above threshold) joins a pure column-pruned scan
+      // to recover the block labels.
+      val docs = Tables(s, dir).documentsSpread
       val g = docs.select(col("doc_id"), col("lang"), col("source"),
-        explode(array_distinct(charNgrams(col("text"), 3))).as("gram"))
-      val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val a = g.select(col("lang"), col("source"), col("doc_id").as("doc_a"), col("gram"))
-      val b = g.select(col("lang").as("lang_b"), col("source").as("source_b"),
-        col("doc_id").as("doc_b"), col("gram").as("gram_b"))
-      val inter = a.join(b,
-        col("gram") === col("gram_b") && col("lang") === col("lang_b") &&
-          col("source") === col("source_b") && col("doc_a") < col("doc_b"))
-        .groupBy(col("lang"), col("source"), col("doc_a"), col("doc_b"))
+        CharNgramsDistinct(col("text"), 3).as("grams"))
+        .select(col("doc_id"), size(col("grams")).as("sz"), col("lang"), col("source"),
+          explode(col("grams")).as("gram"))
+        .select(col("doc_id"), col("sz"),
+          xxhash64(col("lang"), col("source"), col("gram")).as("gk"))
+      val inter = g.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("gk"))
+        .join(g.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("gk")), "gk")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
         .agg(count(lit(1)).as("overlap"))
+      val labels = Tables(s, dir).documents
+        .select(col("doc_id").as("doc_a"), col("lang"), col("source"))
       val jac = inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
         .withColumn("jaccard",
           col("overlap").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("overlap")))
         .filter(col("jaccard") >= 0.6)
+        .join(broadcast(labels), "doc_a")
       jac.select("lang", "source", "doc_a", "doc_b", "jaccard")
         .orderBy(col("lang"), col("source"), col("doc_a"), col("doc_b"))
     },
@@ -250,7 +272,7 @@ object TextQueries {
       """SELECT t AS token, COUNT(*) AS n
         |FROM (SELECT unnest(string_split(text,' ')) AS t FROM documents)
         |GROUP BY t ORDER BY n DESC, token LIMIT 20""".stripMargin) { (s, dir) =>
-      Tables(s, dir).documents
+      Tables(s, dir).documentsSpread
         .select(explode(tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))

@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.TestSpark
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The byte-level kernels must be bit-identical to the composable
+  * higher-order forms they replace — verified over the whole real
+  * corpus, not samples, plus handcrafted edge cases.
+  */
+class TextKernelsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+  test("CharNgramsDistinct == array_distinct(transform(substr)) on the full corpus") {
+    val mismatches = docs.select(
+      CharNgramsDistinct(col("text"), 3).as("kernel"),
+      array_distinct(charNgrams(col("text"), 3)).as("ref"))
+      .filter(col("kernel") =!= col("ref"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("WordShingles == concat_ws over element_at windows on the full corpus") {
+    val mismatches = docs
+      .select(col("text"), tokens(col("text")).as("toks"))
+      .select(
+        WordShingles(col("text"), 3).as("kernel"),
+        shinglesFromTokens(col("toks"), 3).as("ref"))
+      .filter(col("kernel") =!= col("ref"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("edge cases: empty, short, consecutive spaces, multi-byte chars") {
+    val cases = Seq("", "a", "ab", "abc", "a b", "a b c", "a b c d",
+      "a  b c", " leading", "trailing ", "héllo wörld déjà", "日本 語 テスト 文")
+    val df = cases.toDF("text").select(col("text"), tokens(col("text")).as("toks"))
+    val bad = df.select(
+      CharNgramsDistinct(col("text"), 3).as("k1"),
+      array_distinct(charNgrams(col("text"), 3)).as("r1"),
+      WordShingles(col("text"), 3).as("k2"),
+      shinglesFromTokens(col("toks"), 3).as("r2"))
+      .filter(col("k1") =!= col("r1") || col("k2") =!= col("r2"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("kernels are callable from SQL after registration") {
+    graft.GraftExtensions.register(spark)
+    docs.limit(5).createOrReplaceTempView("tk_docs")
+    val n = spark.sql(
+      "SELECT size(char_ngrams_distinct(text, 3)) AS a, size(word_shingles(text, 3)) AS b FROM tk_docs")
+      .collect()
+    assert(n.forall(r => r.getInt(0) > 0 && r.getInt(1) > 0))
+  }
+}
