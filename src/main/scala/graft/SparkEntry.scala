@@ -17,6 +17,7 @@ object SparkEntry {
       operators.TextQueries.all ++
       operators.SimilarityQueries.all ++
       operators.ExtendedQueries.all ++
+      operators.AnalyticsQueries.all ++
       operators.AdvancedQueries.all ++
       operators.FlightQueries.all
 

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+
+/** Analytic-SQL breadth: multi-dimensional aggregation (CUBE),
+  * navigation windows (lag/lead), distribution windows (ntile),
+  * time-range window frames, unpivot/melt, and regexp string ops.
+  *
+  * Scale notes: cube fans each row into 2^k grouping sets but keeps
+  * partial aggregation, so the shuffle carries group rows; lag/lead
+  * and the range frame shuffle once on the partition key; ntile over a
+  * global ORDER BY is inherently a single-partition sort — it is here
+  * for API parity, and callers at scale should partition first (see
+  * q46 scaladoc).
+  */
+object AnalyticsQueries {
+
+  val all: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    // q44 — CUBE over (returnflag, linestatus): all 2² grouping sets in
+    // one pass; cube-generated nulls mapped to a sentinel so ordering
+    // is engine-independent. Exact decimal sum, double at the edge.
+    QueryDef.sql(
+      "q44_cube_qty",
+      """SELECT COALESCE(l_returnflag,'ALL') AS rf, COALESCE(l_linestatus,'ALL') AS ls,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin) { (s, dir) =>
+      Tables(s, dir).lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy(col("rf"), col("ls"))
+    },
+
+    // ------------------------------------------------------------------
+    // q45 — navigation window: previous/next order price per customer
+    // in (orderdate, orderkey) order. Values pass through untouched —
+    // no float arithmetic to diverge.
+    QueryDef.sql(
+      "q45_lag_lead_price",
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  lead(o_totalprice) OVER w AS next_price
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, dir).orders.select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ------------------------------------------------------------------
+    // q46 — ntile quartiles over a GLOBAL order: API parity for the
+    // distribution-window family. A global ORDER BY window is a
+    // single-partition sort by construction — at 100 TB use
+    // `ntile over (partition by <shard> ...)` or approx quantiles
+    // (q41 exact median / percentile_approx) instead.
+    QueryDef.sql(
+      "q46_ntile_quartile",
+      """SELECT o_orderkey, CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, dir).orders.select(
+        col("o_orderkey"), ntile(4).over(w).as("quartile"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ------------------------------------------------------------------
+    // q47 — time-range window frame: per-user rolling 1-hour sum.
+    // Frame bounds in integer microseconds on both engines (timestamp
+    // truncation semantics can differ; integers cannot), exact decimal
+    // accumulation inside the frame.
+    QueryDef.sql(
+      "q47_rolling_1h",
+      """SELECT event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_1h
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      Tables(s, dir).events.select(
+        col("event_id"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType).as("rolling_1h"))
+        .orderBy(col("event_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q48 — unpivot/melt: wide measure columns to (name, value) rows.
+    // 3× row fan-out with no shuffle (narrow transformation); values
+    // pass through untouched.
+    QueryDef.sql(
+      "q48_unpivot_charges",
+      """SELECT l_orderkey, l_linenumber, measure, val
+        |FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount FROM lineitem)
+        |      ON l_quantity, l_extendedprice, l_discount INTO NAME measure VALUE val)
+        |ORDER BY l_orderkey, l_linenumber, measure, val""".stripMargin) { (s, dir) =>
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // val joins the sort key so ties order identically in both engines.
+      Tables(s, dir).lineitem.unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        variableColumnName = "measure",
+        valueColumnName = "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"), col("val"))
+    },
+
+    // ------------------------------------------------------------------
+    // q49 — regexp extraction/replacement (patterns restricted to the
+    // syntax subset where Java regex and RE2 agree).
+    QueryDef.sql(
+      "q49_regexp_parts",
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |  regexp_replace(p_type, '[AEIOU]', '', 'g') AS type_novowel
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir).part.select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        regexp_replace(col("p_type"), "[AEIOU]", "").as("type_novowel"))
+        .orderBy(col("p_partkey"))
+    }
+  )
+}
