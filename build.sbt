@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Deliberately modest: this microVM pages host memory lazily, so a
+  // large (or pre-committed) heap stalls early queries on first-touch
+  // page faults — measured 3-4× whole-bench regressions at 12-32g.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

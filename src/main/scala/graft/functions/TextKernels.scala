@@ -42,6 +42,26 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Occurrences of set-member tokens under single-space tokenization
+    * == `size(filter(split(s,' '), t -> t.isInCollection(words)))`.
+    * Counts every occurrence (not distinct tokens).
+    */
+  def stopwordHits(s: UTF8String, words: java.util.HashSet[UTF8String]): Int = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    var hits = 0
+    var start = 0
+    var i = 0
+    while (i <= nb) {
+      if (i == nb || bytes(i) == 0x20) {
+        if (words.contains(UTF8String.fromBytes(bytes, start, i - start))) hits += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    hits
+  }
+
   /** Word n-gram shingles over single-space tokenization ==
     * `transform(sequence(1, size(split(s,' '))-n+1), i -> concat_ws(' ', tok(i)..tok(i+n-1)))`.
     *
@@ -116,9 +136,44 @@ case class WordShingles(child: Expression, n: Int) extends TextKernelExpression 
     copy(child = newChild)
 }
 
+/** See [[TextKernels.stopwordHits]]: integer hit count against a fixed
+  * word set shipped to codegen as a reference object.
+  */
+case class StopwordHits(child: Expression, words: Seq[String]) extends UnaryExpression {
+
+  @transient private lazy val wordSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.stopwordHits(input.asInstanceOf[UTF8String], wordSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopwords", wordSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.stopwordHits($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordHits =
+    copy(child = newChild)
+}
+
 object CharNgramsDistinct {
   def apply(text: Column, n: Int): Column =
     ColumnBridge.column(CharNgramsDistinct(ColumnBridge.expression(text), n))
+}
+
+object StopwordHits {
+  def apply(text: Column, words: Seq[String]): Column =
+    ColumnBridge.column(StopwordHits(ColumnBridge.expression(text), words))
 }
 
 object WordShingles {

@@ -99,13 +99,24 @@ object TextQueries {
          |  CAST(h_en AS INTEGER) AS h_en, CAST(h_es AS INTEGER) AS h_es,
          |  CAST(h_de AS INTEGER) AS h_de, CAST(h_fr AS INTEGER) AS h_fr
          |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // One kernel pass per language over bound hit columns; the argmax
+      // CASE chain reads the columns instead of re-running the scorers
+      // (the composable langId recomputes every hit count per branch).
       val d = Tables(s, dir).documentsSpread
       val withHits = langStopwords.foldLeft(d) { case (df, (lang, words)) =>
-        df.withColumn(s"h_$lang", stopwordHits(col("text"), words))
+        df.withColumn(s"h_$lang", graft.functions.StopwordHits(col("text"), words))
       }
+      val hitCols = langStopwords.map { case (lang, _) => col(s"h_$lang") }
+      val best = greatest(hitCols: _*)
+      val pred = when(hitCols.reduce(_ + _) === 0, lit("und"))
+        .otherwise(langStopwords.foldRight(lit("fr"): org.apache.spark.sql.Column) {
+          case ((lang, _), acc) =>
+            if (lang == "fr") acc
+            else when(col(s"h_$lang") === best, lit(lang)).otherwise(acc)
+        })
       withHits.select(
         col("doc_id"),
-        langId(col("text")).as("lang_pred"),
+        pred.as("lang_pred"),
         col("h_en"), col("h_es"), col("h_de"), col("h_fr"))
         .orderBy(col("doc_id"))
     },

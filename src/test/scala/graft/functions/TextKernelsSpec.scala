@@ -36,6 +36,16 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("StopwordHits == size(filter(tokens, isInCollection)) on the full corpus") {
+    val words = langStopwords.toMap.apply("en")
+    val mismatches = docs.select(
+      StopwordHits(col("text"), words).as("kernel"),
+      stopwordHits(col("text"), words).as("ref"))
+      .filter(col("kernel") =!= col("ref"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("edge cases: empty, short, consecutive spaces, multi-byte chars") {
     val cases = Seq("", "a", "ab", "abc", "a b", "a b c", "a b c d",
       "a  b c", " leading", "trailing ", "héllo wörld déjà", "日本 語 テスト 文")
