@@ -33,6 +33,33 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("win.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup for a document-ingest stream: key =
+    * content fingerprint (md5 of the text bytes — same fingerprint as
+    * the batch dedup q25), state bounded by the event-time watermark
+    * via `dropDuplicatesWithinWatermark`. Unbounded `dropDuplicates`
+    * would keep every fingerprint ever seen; the watermark form keeps
+    * only the fingerprints inside the late-data horizon — the shape
+    * that survives an unbounded 100 TB/day ingest. Duplicates farther
+    * apart than the watermark are left to a periodic batch sweep
+    * (q25), the standard two-tier design.
+    *
+    * Input must carry (ts: timestamp, text: string); all columns pass
+    * through.
+    */
+  def dedupDocStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Stream-static enrichment: each micro-batch joins the (small)
+    * static dimension — planned as a broadcast hash join per batch, no
+    * streaming state at all. The static side is re-read per batch, so
+    * a slowly-changing dim is picked up without restarts.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   final case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)

@@ -47,6 +47,41 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  test("dedupDocStream: drops in-watermark duplicates, keeps distinct texts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = StreamOps.dedupDocStream(mem.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dedup_docs")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Doc(1, ts(0), "alpha"), Doc(2, ts(1), "beta"),
+        Doc(3, ts(2), "alpha"), // dup of 1 within watermark
+        Doc(4, ts(3), "gamma"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_docs").select("text").as[String].collect().sorted
+      assert(out.toSeq == Seq("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
+
+  test("enrichStream: stream-static broadcast join enriches per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "pro"), (2L, "free")).toDF("user_id", "tier")
+    val mem = MemoryStream[StreamOps.Event]
+    val q = StreamOps.enrichStream(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData(sample: _*)
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+      assert(rows.length == sample.length)
+      assert(rows.forall(r => !r.isNullAt(r.fieldIndex("tier"))))
+    } finally q.stop()
+  }
+
   test("sessionize: closes sessions on gap, carries state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Event]
