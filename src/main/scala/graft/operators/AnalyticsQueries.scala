@@ -120,6 +120,71 @@ object AnalyticsQueries {
     },
 
     // ------------------------------------------------------------------
+    // q50 — date/time function breadth: truncation, month-end,
+    // day-difference from an epoch date, year/quarter extraction.
+    QueryDef.sql(
+      "q50_date_funcs",
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+        |  CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+        |  CAST(datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+        |  CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS qtr
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      // date-typed columns are surfaced as midnight timestamps: the
+      // engines' parquet DATE encodings survive the driver's
+      // pandas-level compare only as TIMESTAMP (q18 convention)
+      Tables(s, dir).orders.select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("order_month"),
+        last_day(col("o_orderdate")).cast("timestamp").as("month_end"),
+        datediff(col("o_orderdate").cast("date"), lit("2024-01-01").cast("date")).as("days_since"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ------------------------------------------------------------------
+    // q51 — conditional aggregation family: filtered counts, guarded
+    // decimal sums, boolean any/all — the idioms of quality-gate
+    // reporting over a corpus.
+    QueryDef.sql(
+      "q51_conditional_agg",
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS finished_value,
+        |  bool_or(o_totalprice > 400000) AS any_huge,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables(s, dir).orders
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          count_if(col("o_totalprice") > 200000).as("n_big"),
+          sum(when(col("o_orderstatus") === "F", col("o_totalprice").cast(DecimalType(18, 2)))
+            .otherwise(lit(0).cast(DecimalType(18, 2))))
+            .cast(DoubleType).as("finished_value"),
+          bool_or(col("o_totalprice") > 400000).as("any_huge"),
+          bool_and(col("o_totalprice") > 1000).as("all_over_1k"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ------------------------------------------------------------------
+    // q52 — ordered string aggregation (listagg WITHIN GROUP): nation
+    // roster per region, deterministic member order.
+    QueryDef.sql(
+      "q52_string_agg",
+      """SELECT n_regionkey,
+        |  string_agg(n_name, '|' ORDER BY n_name) AS members
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir).nation
+        .groupBy(col("n_regionkey"))
+        .agg(expr("listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name)").as("members"))
+        .orderBy(col("n_regionkey"))
+    },
+
+    // ------------------------------------------------------------------
     // q49 — regexp extraction/replacement (patterns restricted to the
     // syntax subset where Java regex and RE2 agree).
     QueryDef.sql(
