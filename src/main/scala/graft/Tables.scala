@@ -24,14 +24,25 @@ final class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark 4 rejects
-    * outright; read nanos as long and rebuild a micros TimestampType
-    * (integer `div` keeps it exact — the data is micro-precision).
+  /** The driver's `events.parquet` carries TIMESTAMP(NANOS), which
+    * Spark 4 rejects outright; read nanos as long and rebuild a micros
+    * TimestampType (integer `div` keeps it exact — the data is
+    * micro-precision). Files already written with micro timestamps
+    * (e.g. re-exported snapshots) come back as TimestampType and pass
+    * through untouched — the branch keys off the actual read schema.
     */
   def events: DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // NTZ-written files (isAdjustedToUTC=false): value-preserving
+      // under the engine's pinned UTC session timezone
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents: DataFrame  = t("documents")
 
