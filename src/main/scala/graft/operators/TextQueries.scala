@@ -49,7 +49,7 @@ object TextQueries {
     * partial-aggregated min per slice — the shuffle carries one row per
     * document, not per shingle.
     */
-  private def minhashSig(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[operators] def minhashSig(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val hx = Tables(s, dir).documentsSpread
       .select(col("doc_id"), explode(WordShingles(col("text"), 3)).as("s"))
       .select(col("doc_id"), md5(col("s").cast(BinaryType)).as("hx"))
@@ -274,6 +274,15 @@ object TextQueries {
         length(col("text").cast(BinaryType)).as("byte_len"),
         sha2(col("text").cast(BinaryType), 256).as("sha"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q53 — the production near-dup pipeline (LSH candidates → exact
+    // verify, [[NearDup]]): rows-only check (the banding uses Spark's
+    // xxhash64, which DuckDB cannot mirror); recall vs the exhaustive
+    // q29 is asserted in NearDupSpec.
+    QueryDef.rowsOnly("q53_neardup_pipeline") { (s, dir) =>
+      NearDup.nearDupPairs(s, dir, 0.6)
     },
 
     // ------------------------------------------------------------------

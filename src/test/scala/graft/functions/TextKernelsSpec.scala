@@ -60,6 +60,19 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("SortedLongIntersectCount == size(array_intersect) on hashed corpus grams") {
+    val hashed = docs.select(
+      array_sort(transform(CharNgramsDistinct(col("text"), 3), g => xxhash64(g))).as("h"))
+    val pairs = hashed.limit(50).crossJoin(
+      hashed.limit(50).select(col("h").as("h2")))
+    val bad = pairs.select(
+      SortedLongIntersectCount(col("h"), col("h2")).as("kernel"),
+      size(array_intersect(col("h"), col("h2"))).as("ref"))
+      .filter(col("kernel") =!= col("ref"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("kernels are callable from SQL after registration") {
     graft.GraftExtensions.register(spark)
     docs.limit(5).createOrReplaceTempView("tk_docs")

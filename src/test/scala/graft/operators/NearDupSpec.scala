@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scale-path near-dup pipeline (LSH candidates → exact verify)
+  * measured against the exhaustive pairwise verifier (q29) on the real
+  * corpus: recall of the banding is reported and bounded, and every
+  * pair found by both carries the identical exact Jaccard.
+  */
+class NearDupSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("LSH-verified pipeline recalls the exhaustive near-dup pairs") {
+    val exhaustive = SparkEntry.queries("q29_ngram_jaccard_pairs")(spark, dir)
+      .select("doc_a", "doc_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val lsh = NearDup.nearDupPairs(spark, dir, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    assert(exhaustive.nonEmpty, "corpus should contain near-dups")
+    val recalled = exhaustive.keySet.intersect(lsh.keySet)
+    val recall = recalled.size.toDouble / exhaustive.size
+    info(f"recall=$recall%.3f (${recalled.size}/${exhaustive.size}), candidates verified=${lsh.size}")
+    // 8 bands × 2 rows: expected recall 1-(1-j²)^8 ≈ 0.97 at the 0.6
+    // threshold and →1 for closer pairs
+    assert(recall >= 0.9, f"LSH recall $recall%.3f below bound")
+
+    // identical exact Jaccard for every pair both paths found
+    recalled.foreach { k => assert(lsh(k) == exhaustive(k), s"jaccard mismatch for $k") }
+  }
+}
