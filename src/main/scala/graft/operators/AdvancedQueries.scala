@@ -47,6 +47,42 @@ object AdvancedQueries {
           approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
           count(lit(1)).as("n_lines"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // ------------------------------------------------------------------
+    // q54 — ANN scale path: IVF cell assignment + cell-local top-5
+    // search for the q30 query subset. Rows-only (approximate by
+    // design); recall vs the brute-force baseline is asserted in
+    // SimilaritySpec.
+    QueryDef.rowsOnly("q54_ann_ivf") { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val assigned = SimilarityOps.ivfAssign(e, 16)
+      val queries = e.filter(col("vec_id") % 100 === 0)
+      SimilarityOps.ivfSearch(assigned, queries, 5)
+        .orderBy(col("qid"), col("rn"))
+    },
+
+    // ------------------------------------------------------------------
+    // q55 — GROUPING SETS through the engine's SQL surface: the Spark
+    // side runs the IDENTICAL SQL text as the DuckDB oracle over a
+    // registered temp view (spark.sql is a first-class entry point,
+    // not just the DataFrame API).
+    QueryDef.sql(
+      "q55_grouping_sets",
+      """SELECT COALESCE(l_returnflag,'ALL') AS rf, COALESCE(l_linestatus,'ALL') AS ls,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin) { (s, dir) =>
+      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT COALESCE(l_returnflag,'ALL') AS rf, COALESCE(l_linestatus,'ALL') AS ls,
+          |  CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY rf, ls""".stripMargin)
     }
   )
 }
