@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Set-similarity kernels over pre-hashed, pre-sorted feature arrays.
   *
@@ -18,6 +19,44 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * primitive merge walk inside whole-stage codegen.
   */
 object ArrayKernels {
+
+  /** Distinct char n-gram 64-bit hashes of `s`, sorted ascending —
+    * the feature-set representation the similarity kernels consume,
+    * produced in ONE pass per row: slide over the bytes, hash each
+    * n-char window (FNV-1a 64, internal-only — never compared across
+    * engines), sort the primitive array, drop adjacent duplicates.
+    * Equivalent to `array_sort(transform(char_ngrams_distinct(s, n),
+    * g -> hash64(g)))` minus two interpreted lambdas and boxing.
+    */
+  def charNgramHashesSorted(s: UTF8String, n: Int): ArrayData = {
+    val len = s.numChars()
+    if (len < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val m = len - n + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val gram = s.substringSQL(i + 1, n)
+      val b = gram.getBytes
+      var h = 0xcbf29ce484222325L
+      var k = 0
+      while (k < b.length) { h ^= (b(k) & 0xffL); h *= 0x100000001b3L; k += 1 }
+      hs(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var distinct = 1
+    i = 1
+    while (i < m) { if (hs(i) != hs(i - 1)) distinct += 1; i += 1 }
+    val out = new Array[Any](distinct)
+    out(0) = hs(0)
+    var j = 1
+    i = 1
+    while (i < m) {
+      if (hs(i) != hs(i - 1)) { out(j) = hs(i); j += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   /** Count of common elements of two SORTED long arrays (duplicates
     * counted min-wise, like multiset intersection; inputs from
@@ -36,6 +75,33 @@ object ArrayKernels {
     }
     c
   }
+}
+
+/** See [[ArrayKernels.charNgramHashesSorted]]. */
+case class CharNgramHashesSorted(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.charNgramHashesSorted(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayKernels.charNgramHashesSorted($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramHashesSorted =
+    copy(child = newChild)
+}
+
+object CharNgramHashesSorted {
+  def apply(text: Column, n: Int): Column =
+    ColumnBridge.column(CharNgramHashesSorted(ColumnBridge.expression(text), n))
 }
 
 /** See [[ArrayKernels.sortedLongIntersectCount]]. */

@@ -60,6 +60,16 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("CharNgramHashesSorted: sorted, distinct, count matches the string kernel") {
+    val bad = docs.select(
+      CharNgramHashesSorted(col("text"), 3).as("h"),
+      CharNgramsDistinct(col("text"), 3).as("g"))
+      .filter(size(col("h")) =!= size(col("g")) ||
+        col("h") =!= array_sort(array_distinct(col("h"))))
+      .count()
+    assert(bad == 0)
+  }
+
   test("SortedLongIntersectCount == size(array_intersect) on hashed corpus grams") {
     val hashed = docs.select(
       array_sort(transform(CharNgramsDistinct(col("text"), 3), g => xxhash64(g))).as("h"))
