@@ -65,4 +65,64 @@ class PropertySpec extends AnyFunSuite {
         once.select("id").distinct().count() == once.count()
     }, n = 10)
   }
+
+  // --- text/array kernels: JVM-direct properties against pure-Scala
+  // reference models (hundreds of samples, no Spark job per case) ---
+
+  import graft.functions.{ArrayKernels, TextKernels}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(5).mkString)
+  private val textGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
+    .flatMap(t => Gen.oneOf(t, t + " ", " " + t, t.replace(" ", "  ")))
+
+  private def longs(a: org.apache.spark.sql.catalyst.util.ArrayData): Seq[Long] =
+    (0 until a.numElements()).map(a.getLong)
+  private def strs(a: org.apache.spark.sql.catalyst.util.ArrayData): Seq[String] =
+    (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+
+  test("wordShingles kernel == split/sliding/mkString model on arbitrary spacing") {
+    check(Prop.forAll(textGen) { t =>
+      val toks = t.split(" ", -1).toSeq
+      val expected = if (toks.size < 3) Seq.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSeq
+      strs(TextKernels.wordShingles(UTF8String.fromString(t), 3)) == expected
+    }, n = 200)
+  }
+
+  test("charNgramsDistinct kernel == sliding.distinct model incl. multi-byte chars") {
+    val uniGen = Gen.listOfN(10, Gen.oneOf("a", "é", "日", " ", "b")).map(_.mkString)
+    check(Prop.forAll(uniGen) { t =>
+      val expected = if (t.length < 3) Seq.empty
+        else t.sliding(3).toSeq.distinct
+      strs(TextKernels.charNgramsDistinct(UTF8String.fromString(t), 3)) == expected
+    }, n = 200)
+  }
+
+  test("stopwordHits kernel == count of member tokens") {
+    val words = Seq("the", "a", "of")
+    val set = new java.util.HashSet[UTF8String]()
+    words.foreach(w => set.add(UTF8String.fromString(w)))
+    check(Prop.forAll(textGen) { t =>
+      val expected = t.split(" ", -1).count(words.contains)
+      TextKernels.stopwordHits(UTF8String.fromString(t), set) == expected
+    }, n = 200)
+  }
+
+  test("charNgramHashesSorted: sorted, distinct, cardinality matches distinct grams") {
+    check(Prop.forAll(textGen) { t =>
+      val hs = longs(ArrayKernels.charNgramHashesSorted(UTF8String.fromString(t), 3))
+      val expectedCard = if (t.length < 3) 0 else t.sliding(3).toSeq.distinct.size
+      hs == hs.sorted && hs.distinct == hs && hs.size == expectedCard
+    }, n = 200)
+  }
+
+  test("sortedLongIntersectCount == set-intersection cardinality") {
+    val setGen = Gen.listOf(Gen.chooseNum(-50L, 50L)).map(_.distinct.sorted)
+    check(Prop.forAll(setGen, setGen) { (a, b) =>
+      val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(a.toArray[Any])
+      val bd = new org.apache.spark.sql.catalyst.util.GenericArrayData(b.toArray[Any])
+      ArrayKernels.sortedLongIntersectCount(ad, bd) == a.toSet.intersect(b.toSet).size
+    }, n = 300)
+  }
 }
