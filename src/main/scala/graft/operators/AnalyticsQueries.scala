@@ -185,6 +185,54 @@ object AnalyticsQueries {
     },
 
     // ------------------------------------------------------------------
+    // q56 — deterministic per-group subsampling: bottom-k by a
+    // content-derived key (md5, identical both engines — never rand()).
+    // The training-data "take k docs per language, reproducibly" op:
+    // one shuffle on the group key, per-partition top-k via the rank
+    // window, no global sort.
+    QueryDef.sql(
+      "q56_sample_per_group",
+      """SELECT lang, doc_id, rk FROM (
+        |  SELECT lang, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS INTEGER) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+      Tables(s, dir).documents
+        .select(col("lang"), col("doc_id"), row_number().over(w).as("rk"))
+        .filter(col("rk") <= 10)
+        .orderBy(col("lang"), col("rk"))
+    },
+
+    // ------------------------------------------------------------------
+    // q57 — time-series gap filling: hourly counts per event type with
+    // zero rows for silent hours, spine generated per key from its own
+    // [min, max] range (sequence + explode — no driver-side calendar).
+    QueryDef.sql(
+      "q57_gap_fill",
+      """WITH b AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT t.event_type, CAST(unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS TIMESTAMP) AS h
+        |  FROM (SELECT event_type, min(h) AS lo, max(h) AS hi FROM b GROUP BY 1) t)
+        |SELECT s.event_type, s.h, COALESCE(b.n, 0) AS n
+        |FROM spine s LEFT JOIN b ON b.event_type = s.event_type AND b.h = s.h
+        |ORDER BY s.event_type, s.h""".stripMargin) { (s, dir) =>
+      val b = Tables(s, dir).events
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val spine = b.groupBy(col("event_type"))
+        .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+      spine.join(b, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("event_type"), col("h"))
+    },
+
+    // ------------------------------------------------------------------
     // q49 — regexp extraction/replacement (patterns restricted to the
     // syntax subset where Java regex and RE2 agree).
     QueryDef.sql(
