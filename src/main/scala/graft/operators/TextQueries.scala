@@ -221,40 +221,27 @@ object TextQueries {
         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(overlap AS DOUBLE) / (sa.sz + sb.sz - overlap) >= 0.6
         |ORDER BY lang, source, doc_a, doc_b""".stripMargin) { (s, dir) =>
-      // The O(pairs·shared-grams) intermediate is unavoidable for exact
-      // verification, so make each row as narrow as possible: fold the
-      // (lang, source, gram) 3-string join key into one xxhash64 long
-      // (the key never reaches the output; a 64-bit collision across
-      // ~10⁵ distinct keys is ~1e-10 — negligible), count pairs over
-      // two longs, and re-attach block labels + distinct-gram sizes
-      // from small per-document dims via broadcast joins afterwards.
-      // sz comes straight from size(array_distinct(...)) on the scan —
-      // no second explode/aggregate pass over the grams.
-      // Each document's distinct-gram size rides along on the gram rows
-      // (4 bytes per row), so overlap AND both sizes come out of the one
-      // pair aggregation — no second pass over the grams and no
-      // per-document dim subplans to broadcast. Only the final tiny
-      // result (pairs above threshold) joins a pure column-pruned scan
-      // to recover the block labels.
+      // Pair enumeration by block equi-join of DOC-level rows (one row
+      // per document carrying its sorted gram-hash set), then one
+      // merge-walk kernel call per pair — instead of exploding to
+      // per-gram rows and re-aggregating an O(pairs · shared-grams)
+      // join intermediate. The join shuffles only #docs rows; the
+      // quadratic-within-block pair stream never hits an exchange
+      // (overlap and sizes come from the same projection and are
+      // filtered immediately). Gram identity via 64-bit hashes —
+      // collision odds across ~10⁵ grams are ~1e-10, negligible.
       val docs = Tables(s, dir).documentsSpread
-      val g = docs.select(col("doc_id"), col("lang"), col("source"),
-        CharNgramsDistinct(col("text"), 3).as("grams"))
-        .select(col("doc_id"), size(col("grams")).as("sz"), col("lang"), col("source"),
-          explode(col("grams")).as("gram"))
-        .select(col("doc_id"), col("sz"),
-          xxhash64(col("lang"), col("source"), col("gram")).as("gk"))
-      val inter = g.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("gk"))
-        .join(g.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("gk")), "gk")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
-        .agg(count(lit(1)).as("overlap"))
-      val labels = Tables(s, dir).documents
-        .select(col("doc_id").as("doc_a"), col("lang"), col("source"))
-      val jac = inter
+      val g = docs.select(col("lang"), col("source"), col("doc_id"),
+        graft.functions.CharNgramHashesSorted(col("text"), 3).as("hs"))
+      val jac = g.select(col("lang"), col("source"), col("doc_id").as("doc_a"), col("hs").as("ga"))
+        .join(g.select(col("lang").as("lang_b"), col("source").as("source_b"),
+          col("doc_id").as("doc_b"), col("hs").as("gb")),
+          col("lang") === col("lang_b") && col("source") === col("source_b") &&
+            col("doc_a") < col("doc_b"))
+        .withColumn("overlap", graft.functions.SortedLongIntersectCount(col("ga"), col("gb")))
         .withColumn("jaccard",
-          col("overlap").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("overlap")))
+          col("overlap").cast(DoubleType) / (size(col("ga")) + size(col("gb")) - col("overlap")))
         .filter(col("jaccard") >= 0.6)
-        .join(broadcast(labels), "doc_a")
       jac.select("lang", "source", "doc_a", "doc_b", "jaccard")
         .orderBy(col("lang"), col("source"), col("doc_a"), col("doc_b"))
     },
