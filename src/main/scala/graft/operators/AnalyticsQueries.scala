@@ -233,6 +233,65 @@ object AnalyticsQueries {
     },
 
     // ------------------------------------------------------------------
+    // q58 — cohort retention: users grouped by first-seen day, actives
+    // counted per day-offset. Two aggregations over the fact + one
+    // key join; the distinct collapses to (user, offset) grain before
+    // the final count.
+    QueryDef.sql(
+      "q58_cohort_retention",
+      """WITH firstseen AS (
+        |  SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort
+        |  FROM events GROUP BY 1),
+        |activity AS (
+        |  SELECT DISTINCT e.user_id, f.cohort,
+        |    CAST(datediff('day', f.cohort, CAST(date_trunc('day', e.ts) AS TIMESTAMP)) AS INTEGER) AS day_offset
+        |  FROM events e JOIN firstseen f ON e.user_id = f.user_id)
+        |SELECT cohort, day_offset, CAST(COUNT(*) AS BIGINT) AS active_users
+        |FROM activity GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val firstseen = ev.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("cohort"))
+      ev.join(firstseen, "user_id")
+        .select(col("user_id"), col("cohort"),
+          datediff(date_trunc("day", col("ts")).cast("date"), col("cohort").cast("date")).as("day_offset"))
+        .distinct()
+        .groupBy(col("cohort"), col("day_offset"))
+        .agg(count(lit(1)).as("active_users"))
+        .orderBy(col("cohort"), col("day_offset"))
+    },
+
+    // ------------------------------------------------------------------
+    // q59 — distribution/navigation window family: percent_rank,
+    // cume_dist, nth_value, first_value/last_value with explicit
+    // frames. Ratios are exact-integer IEEE divisions — no rounding
+    // needed for cross-engine equality.
+    QueryDef.sql(
+      "q59_window_family",
+      """SELECT o_orderkey,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(o_totalprice, 3) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_lowest,
+        |  first_value(o_totalprice) OVER w AS cheapest,
+        |  last_value(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest
+        |FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir).orders.select(
+        col("o_orderkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        nth_value(col("o_totalprice"), 3).over(wCum).as("third_lowest"),
+        first_value(col("o_totalprice")).over(w).as("cheapest"),
+        last_value(col("o_totalprice")).over(wFull).as("priciest"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ------------------------------------------------------------------
     // q49 — regexp extraction/replacement (patterns restricted to the
     // syntax subset where Java regex and RE2 agree).
     QueryDef.sql(
