@@ -55,6 +55,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("float32dot(va"))
   }
 
+  test("q29: doc-level pair join — no per-gram explode, no mid-plan aggregation") {
+    val p = plan("q29_ngram_jaccard_pairs")
+    // the kernel rewrite scores pairs in a projection; a Generate or a
+    // HashAggregate here means the O(pairs·grams) explode came back
+    assert(!p.contains("Generate"), s"unexpected explode:\n$p")
+    assert(!p.contains("HashAggregate"), s"unexpected aggregation:\n$p")
+    assert(p.contains("charngramhashessorted") || p.contains("CharNgramHashesSorted"), p.linesIterator.take(5).mkString("\n"))
+  }
+
+  test("q56: rank filter is pushed into the window (WindowGroupLimit)") {
+    val p = plan("q56_sample_per_group")
+    // per-partition top-k before the final window sort — the property
+    // that keeps per-group sampling from materializing whole groups
+    assert(p.contains("WindowGroupLimit"), s"rank<=k not pushed down:\n$p")
+  }
+
   test("no query plan contains a collect-driven loop (Exchange-only shuffles)") {
     // structural smoke over every registered query at tiny SF: the plan
     // tree must build lazily without driver-side actions
