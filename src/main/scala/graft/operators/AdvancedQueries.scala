@@ -63,6 +63,23 @@ object AdvancedQueries {
     },
 
     // ------------------------------------------------------------------
+    // q60 — multimodal featurize end-to-end: corpus wrapped as opaque
+    // media rows, partition-local decode stub → fixed-size feature
+    // vectors, aggregated per byte-length bucket. Rows-only (the
+    // decode stub is engine-internal); the plumbing contracts are
+    // specced in MultimodalSpec.
+    QueryDef.rowsOnly("q60_multimodal_features") { (s, dir) =>
+      val media = graft.multimodal.MultimodalOps.asMedia(Tables(s, dir).documents)
+      val feats = graft.multimodal.MultimodalOps.featurize(s, media)
+      feats.toDF()
+        .groupBy((col("byte_len") / 100).cast("int").as("len_bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          avg(element_at(col("features"), 1)).as("avg_f1"))
+        .orderBy(col("len_bucket"))
+    },
+
+    // ------------------------------------------------------------------
     // q55 — GROUPING SETS through the engine's SQL surface: the Spark
     // side runs the IDENTICAL SQL text as the DuckDB oracle over a
     // registered temp view (spark.sql is a first-class entry point,
