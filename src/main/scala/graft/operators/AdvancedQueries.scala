@@ -80,6 +80,17 @@ object AdvancedQueries {
     },
 
     // ------------------------------------------------------------------
+    // q61 — embedding near-dup at scale: random-hyperplane LSH buckets
+    // → intra-bucket cosine verification (≥ 0.35, the corpus' top
+    // tail). The O(n²) form is q31; this is its bucketed scale path.
+    // Rows-only (bucket boundaries are engine-internal); recall vs the
+    // exhaustive pairs is asserted in SimilaritySpec.
+    QueryDef.rowsOnly("q61_embedding_neardup_lsh") { (s, dir) =>
+      SimilarityOps.lshNearDupPairs(Tables(s, dir).embeddings, bits = 8, minCos = 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ------------------------------------------------------------------
     // q55 — GROUPING SETS through the engine's SQL surface: the Spark
     // side runs the IDENTICAL SQL text as the DuckDB oracle over a
     // registered temp view (spark.sql is a first-class entry point,
