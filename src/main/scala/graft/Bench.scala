@@ -6,10 +6,13 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
   *
   * Methodology: one untimed warmup query first (JVM/codegen/catalog
-  * warm), then each query executed once with a `noop`-format write —
-  * full materialization of every output column, no driver collect, no
-  * disk sink in the timing path (`count()` would let Spark skip
-  * column evaluation entirely).
+  * warm), then each query executed with a `noop`-format write — full
+  * materialization of every output column, no driver collect, no disk
+  * sink in the timing path (`count()` would let Spark skip column
+  * evaluation entirely). Each query runs TWICE and reports the min:
+  * single-shot timings on a shared microVM can be off by 40× from GC /
+  * page-fault / contention spikes (round 1 recorded a 1.6 s query at
+  * 75 s); the min of two is the plan's cost, not the machine's mood.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,11 +42,20 @@ object Bench {
     // warmup: cheapest scan-agg query, untimed
     try exec("q06_forecast_revenue") catch { case _: Throwable => () }
 
-    val results = names.map { name =>
+    def timeOnce(name: String): Double = {
+      // queries that persist() intermediates (q53 clusters/bandRows)
+      // register them in the plan-canonicalized CacheManager — without
+      // this the repeat run reads round-1 caches and times nothing
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok = try { exec(name); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -1.0)
+      if (ok) dt else -1.0
+    }
+    val results = names.map { name =>
+      val a = timeOnce(name)
+      val b = if (a >= 0) timeOnce(name) else -1.0
+      name -> (if (a >= 0 && b >= 0) math.min(a, b) else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -38,27 +38,49 @@ object AdvancedQueries {
 
     // ------------------------------------------------------------------
     // q43 — HLL-sketch approximate distinct: engines' sketches differ,
-    // so the driver records rows-only; SimilaritySpec-style accuracy
-    // vs exact is covered in AdvancedOpsSpec.
+    // so the driver records rows-only; the exact companion columns are
+    // hash-checked as q62, and sketch accuracy vs exact is covered in
+    // AdvancedOpsSpec.
     QueryDef.rowsOnly("q43_approx_distinct") { (s, dir) =>
       Tables(s, dir).lineitem
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
           count(lit(1)).as("n_lines"))
         .orderBy(col("l_returnflag"))
     },
 
     // ------------------------------------------------------------------
-    // q54 — ANN scale path: IVF cell assignment + cell-local top-5
-    // search for the q30 query subset. Rows-only (approximate by
-    // design); recall vs the brute-force baseline is asserted in
-    // SimilaritySpec.
+    // q62 — q43's oracled companion: the exact distinct count the
+    // sketch approximates, hash-checked against DuckDB. Two-phase
+    // distinct aggregation (partial per-key dedup map-side); at scale
+    // the sketch path (q43) replaces this when exactness isn't needed.
+    QueryDef.sql(
+      "q62_distinct_exact",
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ------------------------------------------------------------------
+    // q54 — ANN scale path: IVF cell assignment + top-5 search over
+    // each query's 2 nearest cells (nprobe=2 lifts recall at cell
+    // boundaries; recall vs the brute-force q30 baseline is asserted
+    // in SimilaritySpec). Rows-only (approximate by design).
     QueryDef.rowsOnly("q54_ann_ivf") { (s, dir) =>
       val e = Tables(s, dir).embeddings
       val assigned = SimilarityOps.ivfAssign(e, 16)
       val queries = e.filter(col("vec_id") % 100 === 0)
-      SimilarityOps.ivfSearch(assigned, queries, 5)
+      SimilarityOps.ivfSearch(assigned, queries, 5,
+        SimilarityOps.ivfCentroids(e, 16), nprobe = 2)
         .orderBy(col("qid"), col("rn"))
     },
 

@@ -78,6 +78,30 @@ object AnalyticsQueries {
     },
 
     // ------------------------------------------------------------------
+    // q63 — the scale-safe distribution window q46's scaladoc points
+    // to: quartiles PARTITIONED by a cohort key (order month), so every
+    // partition sorts independently in parallel — no single-partition
+    // global sort anywhere in the plan. This is the shape to use at
+    // 100 TB; q46 stays as global-order API parity.
+    QueryDef.sql(
+      "q63_quartile_by_month",
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+        |  CAST(ntile(4) OVER (
+        |    PARTITION BY date_trunc('month', o_orderdate)
+        |    ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val month = date_trunc("month", col("o_orderdate"))
+      val w = Window.partitionBy(month)
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, dir).orders.select(
+        col("o_orderkey"),
+        month.cast("timestamp").as("order_month"),
+        ntile(4).over(w).as("quartile"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ------------------------------------------------------------------
     // q47 — time-range window frame: per-user rolling 1-hour sum.
     // Frame bounds in integer microseconds on both engines (timestamp
     // truncation semantics can differ; integers cannot), exact decimal

@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
 
 /** DataFrame-level forms of the six reference queries
   * (`/root/reference/src/answers.py`), exposed through the driver
-  * contract as rows-only checks: their value-level correctness is
-  * pinned by the golden-fixture suite (`FlightGoldenSpec`), not a SQL
-  * oracle — the gold flights table is not part of the TPC-H-ish
-  * oracle schema. [[graft.flight.FlightAnswers]] wraps these with the
-  * reference's collect-to-driver result shapes.
+  * contract as fully-oracled checks: the gold flights table is not part
+  * of the TPC-H-ish oracle schema, but the fixture is plain parquet, so
+  * each oracle SQL reads it directly via a `gold` CTE over the absolute
+  * fixture path. Value-level reference parity is additionally pinned by
+  * the golden-fixture suite (`FlightGoldenSpec`).
+  * [[graft.flight.FlightAnswers]] wraps these with the reference's
+  * collect-to-driver result shapes.
   */
 object FlightQueries {
 
@@ -21,8 +23,24 @@ object FlightQueries {
     */
   val FixturePath = "/root/repo/src/test/resources/flight_gold_fixture.parquet"
 
-  private def gold(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(FixturePath)
+  /** Resolve the gold table: `dir/gold.parquet` when present (any
+    * Hadoop filesystem — local, s3a, …), otherwise the bundled fixture.
+    * The driver's sf dirs carry no gold table, so the fixture is the
+    * effective source there; a user pointing the engine at their own
+    * lakehouse layout gets their data.
+    */
+  private def gold(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val candidate = new Path(dir, "gold.parquet")
+    val fs = candidate.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val path = if (fs.exists(candidate)) candidate.toString else FixturePath
+    s.read.parquet(path)
+  }
+
+  /** DuckDB-side mirror of [[gold]]: the fixture path inlined as a CTE
+    * (the driver registers only the TPC-H-ish views).
+    */
+  private val GoldCte = s"WITH gold AS (SELECT * FROM '$FixturePath')"
 
   def airlineFlightCounts(gold: DataFrame): DataFrame =
     gold.groupBy("airline_name").count()
@@ -43,12 +61,17 @@ object FlightQueries {
     gold.orderBy(col("distance").desc_nulls_last, col("id")).limit(k)
 
   /** 2-dp half-even rounding via `bround` (matches the reference's
-    * driver-side Python `round`, `answers.py:84`).
+    * driver-side Python `round`, `answers.py:84`). The mean follows the
+    * oracle determinism contract (QueryDef scaladoc): exact DECIMAL sum,
+    * one IEEE double division — bit-identical in any partition order and
+    * in DuckDB.
     */
   def avgFlightLengthPerContinent(gold: DataFrame): DataFrame =
     gold.filter(col("origin_continent") === col("destination_continent"))
       .groupBy("origin_continent")
-      .agg(bround(avg(col("distance")), 2).as("average_distance"))
+      .agg(bround(
+        sum(col("distance").cast("decimal(20,7)")).cast("double") / count(lit(1)),
+        2).as("average_distance"))
       .orderBy(col("origin_continent"))
 
   def topThreeAircraftPerCountry(gold: DataFrame): DataFrame = {
@@ -76,12 +99,56 @@ object FlightQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    QueryDef.rowsOnly("flight_q1_airline_counts")((s, d) => airlineFlightCounts(gold(s, d))),
-    QueryDef.rowsOnly("flight_q2_active_per_continent")((s, d) => mostActivePerContinent(gold(s, d))),
-    QueryDef.rowsOnly("flight_q3_longest_trajectory")((s, d) => longestTrajectories(gold(s, d))),
-    QueryDef.rowsOnly("flight_q4_avg_length_per_continent")((s, d) => avgFlightLengthPerContinent(gold(s, d))),
-    QueryDef.rowsOnly("flight_q5_top3_aircraft")((s, d) => topThreeAircraftPerCountry(gold(s, d))),
-    QueryDef.rowsOnly("flight_q6_inout_imbalance")((s, d) => inOutImbalance(gold(s, d))))
+    QueryDef.sql("flight_q1_airline_counts",
+      s"""$GoldCte
+         |SELECT airline_name, count(*) AS count FROM gold
+         |GROUP BY airline_name ORDER BY count DESC, airline_name""".stripMargin)(
+      (s, d) => airlineFlightCounts(gold(s, d))),
+    QueryDef.sql("flight_q2_active_per_continent",
+      s"""$GoldCte, counted AS (
+         |  SELECT airline_name, origin_continent, count(*) AS count FROM gold
+         |  WHERE origin_continent = destination_continent
+         |  GROUP BY airline_name, origin_continent),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY origin_continent
+         |    ORDER BY count DESC, airline_name) AS rn FROM counted)
+         |SELECT origin_continent, airline_name AS most_active_airline, count
+         |FROM ranked WHERE rn = 1 ORDER BY origin_continent""".stripMargin)(
+      (s, d) => mostActivePerContinent(gold(s, d))),
+    QueryDef.sql("flight_q3_longest_trajectory",
+      s"""$GoldCte
+         |SELECT * FROM gold ORDER BY distance DESC NULLS LAST, id LIMIT 1""".stripMargin)(
+      (s, d) => longestTrajectories(gold(s, d))),
+    QueryDef.sql("flight_q4_avg_length_per_continent",
+      s"""$GoldCte
+         |SELECT origin_continent,
+         |  round(CAST(sum(CAST(distance AS DECIMAL(20,7))) AS DOUBLE)/count(*), 2)
+         |    AS average_distance
+         |FROM gold WHERE origin_continent = destination_continent
+         |GROUP BY origin_continent ORDER BY origin_continent""".stripMargin)(
+      (s, d) => avgFlightLengthPerContinent(gold(s, d))),
+    QueryDef.sql("flight_q5_top3_aircraft",
+      s"""$GoldCte, counted AS (
+         |  SELECT aircraft_code, origin_country, count(*) AS count FROM gold
+         |  GROUP BY aircraft_code, origin_country),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY origin_country
+         |    ORDER BY count DESC, aircraft_code) AS rank FROM counted)
+         |SELECT origin_country,
+         |  string_agg(aircraft_code, ', ' ORDER BY rank) AS top_three_aircraft_model
+         |FROM ranked WHERE rank <= 3
+         |GROUP BY origin_country ORDER BY origin_country""".stripMargin)(
+      (s, d) => topThreeAircraftPerCountry(gold(s, d))),
+    QueryDef.sql("flight_q6_inout_imbalance",
+      s"""$GoldCte, outc AS (
+         |  SELECT origin_airport_name, count(*) AS outgoing_count FROM gold GROUP BY 1),
+         |inc AS (
+         |  SELECT destination_airport_name, count(*) AS incoming_count FROM gold GROUP BY 1)
+         |SELECT origin_airport_name, outgoing_count, incoming_count,
+         |  abs(outgoing_count - incoming_count) AS diff
+         |FROM outc JOIN inc ON origin_airport_name = destination_airport_name
+         |ORDER BY diff DESC, origin_airport_name""".stripMargin)(
+      (s, d) => inOutImbalance(gold(s, d))))
 
   // FlightModel referenced to bind the module dependency explicitly
   private val _ = FlightModel.goldColumns

@@ -85,11 +85,15 @@ object NearDup {
         min(xxhash64(lit(0), col("gh"))).as("h0"),
         (1 until nHashes).map(j => min(xxhash64(lit(j), col("gh"))).as(s"h$j")): _*)
     // one projection: every band key (block folded in) exploded from a
-    // single scan — no 8-way union re-scanning the signature
+    // single scan — no 8-way union re-scanning the signature. Persisted
+    // because the candidate join below reads it TWICE (self-join): an
+    // unpersisted subtree would re-run the explode + 16×xxhash64-min
+    // aggregation per side.
     val bandRows = sig.select(col("canon_id"), posexplode(array(
       (0 until bands).map(b =>
         xxhash64((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")) ++ blocks: _*)): _*))
       .as(Seq("band", "bk")))
+      .persist()
     val candidates = bandRows.select(col("band"), col("bk"), col("canon_id").as("ca"))
       .join(bandRows.select(col("band"), col("bk"), col("canon_id").as("cb")), Seq("band", "bk"))
       .filter(col("ca") < col("cb"))

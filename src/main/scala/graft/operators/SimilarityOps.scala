@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Float32Dot
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -18,34 +19,51 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** IVF-flat: take the `k` vectors with the lowest ids as fixed
-    * deterministic centroids (stand-in for a k-means fit, which would
-    * just refine the same structure), assign every vector to its
-    * nearest centroid, and answer queries by scanning only the
-    * query's cell (`nprobe` = 1 here).
+  /** The fixed deterministic centroid set: the `k` vectors with the
+    * lowest ids (stand-in for a k-means fit, which would just refine
+    * the same structure). Tiny by construction — always broadcast.
+    */
+  def ivfCentroids(embeddings: DataFrame, k: Int): DataFrame =
+    embeddings.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+
+  /** IVF-flat: assign every vector to its nearest centroid; queries
+    * then scan only their `nprobe` nearest cells.
     *
     * At scale: `assign` is a broadcast join against k centroids (no
     * shuffle of the big side beyond the final groupBy), and search
     * becomes an equi-join on `cell`.
     */
   def ivfAssign(embeddings: DataFrame, k: Int): DataFrame = {
-    val centroids = embeddings.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
-    embeddings.crossJoin(broadcast(centroids))
+    embeddings.crossJoin(broadcast(ivfCentroids(embeddings, k)))
       .withColumn("sim", cosine(col("embedding"), col("cv")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
   }
 
-  /** Top-k neighbors for `queries` (vec_id, embedding) searching only
-    * each query's IVF cell.
+  /** Top-k neighbors for `queries` (vec_id, embedding), searching each
+    * query's `nprobe` nearest IVF cells (the standard recall lever at
+    * cell boundaries: a query near the edge of its own cell probes the
+    * adjacent ones too). `centroids` must be the set `assigned` was
+    * built from; probing is a broadcast cross join against it, so
+    * raising `nprobe` multiplies only the candidate equi-join volume,
+    * never adds a shuffle.
     */
-  def ivfSearch(assigned: DataFrame, queries: DataFrame, topK: Int): DataFrame = {
+  def ivfSearch(
+      assigned: DataFrame,
+      queries: DataFrame,
+      topK: Int,
+      centroids: DataFrame,
+      nprobe: Int = 1): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val qCells = assigned.select(col("vec_id").as("qid"), col("cell"))
-    val probes = q.join(qCells, "qid")
+    val pw = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("qv"), col("cv")))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid").as("cell"))
     val cands = assigned.select(col("cell"), col("vec_id").as("nid"), col("embedding").as("nv"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     probes.join(cands, "cell")
@@ -62,15 +80,21 @@ object SimilarityOps {
     * projection. Vectors sharing a signature land in one bucket;
     * near-dup candidates are intra-bucket pairs.
     */
+  /** Embedding dimensionality of the corpus (TESTDATA embeddings are
+    * 64-dim float32); [[Float32Dot]] truncates to the shorter operand,
+    * so a shorter vector simply projects onto the hyperplane prefix.
+    */
+  private val Dim = 64
+
   def lshSignature(embeddings: DataFrame, bits: Int): DataFrame = {
-    // hyperplane h_j has components cos(j * i + j) over coordinates i —
-    // fixed, dense, and cheap to express as a column expression.
-    def proj(j: Int) = aggregate(
-      zip_with(
-        col("embedding"),
-        transform(sequence(lit(0), lit(63)), i => cos(i * (j + 1) + j)),
-        (x, h) => x.cast("double") * h),
-      lit(0.0), (acc, x) => acc + x)
+    // hyperplane h_j has components cos(i * (j+1) + j) over coordinates
+    // i — fixed, dense, no RNG. Materialized once as array<float>
+    // literals so each projection is ONE codegen'd Float32Dot over the
+    // row (the interpreted aggregate(zip_with(...)) form of the same
+    // sum measured ~100× slower per row — see VectorFunctions.dotHof).
+    def plane(j: Int): Array[Float] =
+      Array.tabulate(Dim)(i => math.cos(i.toDouble * (j + 1) + j).toFloat)
+    def proj(j: Int) = Float32Dot(col("embedding"), typedlit(plane(j)))
     val sig = (0 until bits)
       .map(j => when(proj(j) > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)

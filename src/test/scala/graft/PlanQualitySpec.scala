@@ -71,6 +71,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"rank<=k not pushed down:\n$p")
   }
 
+  test("q53: the LSH signature aggregation is cached and shared by the candidate self-join") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val df = SparkEntry.queries("q53_neardup_pipeline")(spark, dir)
+    val imrs = df.queryExecution.withCachedData.collect { case r: InMemoryRelation => r }
+    // bandRows (the explode + 16×xxhash64-min signature subtree) must be
+    // ONE cache read from both sides of the candidate join — otherwise
+    // the signature aggregation executes twice
+    val shared = imrs.groupBy(_.cacheBuilder).collect {
+      case (cb, rs) if rs.size >= 2 && cb.cachedPlan.toString.contains("xxhash64") => cb
+    }
+    assert(shared.nonEmpty, "bandRows signature cache is not shared by the self-join")
+  }
+
+  test("q61: LSH projections run through the codegen'd float32dot kernel, not interpreted HOFs") {
+    val p = plan("q61_embedding_neardup_lsh")
+    assert(p.contains("float32dot"), s"kernel missing from plan:\n${p.take(2000)}")
+    assert(!p.contains("aggregate(zip_with"), "interpreted HOF projection crept back")
+  }
+
   test("no query plan contains a collect-driven loop (Exchange-only shuffles)") {
     // structural smoke over every registered query at tiny SF: the plan
     // tree must build lazily without driver-side actions

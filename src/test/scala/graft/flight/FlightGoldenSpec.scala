@@ -37,6 +37,18 @@ class FlightGoldenSpec extends AnyFunSuite {
     assert(r.size == 6)
   }
 
+  test("Q2 tie proof: every intra-Europe airline has count 1 — no rule can prefer the golden 'Norwegian'") {
+    import org.apache.spark.sql.functions.col
+    val counts = gold
+      .filter(col("origin_continent") === "Europe" &&
+        col("origin_continent") === col("destination_continent"))
+      .groupBy("airline_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // both the golden value and the engine's deterministic winner tie at 1
+    assert(counts("Norwegian") == 1L && counts("Aeroflot") == 1L)
+    assert(counts.values.forall(_ == 1L), s"not an all-tie: $counts")
+  }
+
   test("Q3: longest trajectory = SIN→JFK, float32 distance 15340.56640625") {
     val r = FlightAnswers.flightWithLongestTrajectory(gold)
     assert(r.getAs[String]("id") == "34d26b57")
@@ -66,6 +78,30 @@ class FlightGoldenSpec extends AnyFunSuite {
     assert(r("Norway") == "A333, B738, B77L")
     assert(r("Brazil") == "B77L, A359, B748")
     assert(r("Turkey") == "A359, B789, B38M")
+  }
+
+  test("Q5 tie proof: each golden deviation sits on an exact count tie") {
+    import org.apache.spark.sql.functions.col
+    def counts(country: String): Map[String, Long] =
+      gold.filter(col("origin_country") === country)
+        .groupBy("aircraft_code").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Singapore: golden "A359, B77W, A388" vs engine "A359, A388, B77W"
+    // — the swapped pair ties at 2 under the unique leader A359
+    val sg = counts("Singapore")
+    assert(sg("A359") == 4L && sg("A388") == 2L && sg("B77W") == 2L)
+    // Norway: all three models tie at 1 — any order is a valid top-3
+    val no = counts("Norway")
+    assert(no == Map("A333" -> 1L, "B738" -> 1L, "B77L" -> 1L))
+    // Brazil: golden kept {B748, A359}, engine {A359, B748}; the three
+    // count-1 models tie at the rank-3 boundary under leader B77L
+    val br = counts("Brazil")
+    assert(br("B77L") == 2L && br("A359") == 1L && br("B748") == 1L && br("B789") == 1L)
+    // Turkey: golden "B789, A359, B77W" vs engine "A359, B789, B38M" —
+    // the leaders tie at 5 and the third-place candidates tie at 3
+    val tr = counts("Turkey")
+    assert(tr("A359") == 5L && tr("B789") == 5L)
+    assert(tr("B38M") == 3L && tr("B77W") == 3L)
   }
 
   test("Q6: airport with most in/out imbalance (deterministic; untested upstream)") {

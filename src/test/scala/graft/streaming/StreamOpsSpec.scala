@@ -82,6 +82,40 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize over the full sf0.01 events equals batch q20 per-user session counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val events = graft.Tables(spark, dir).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[StreamOps.Event].collect()
+    val mem = MemoryStream[StreamOps.Event]
+    val q = StreamOps.sessionize(spark, mem.toDS(), gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("sessions_full")
+      .outputMode("append").start()
+    try {
+      mem.addData(events.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // far-future sentinel for a fake user pushes the watermark past
+      // every real session's (lastTs + gap) so idle sessions flush via
+      // event-time timeout — the streaming analogue of end-of-input
+      val maxTs = events.map(_.ts.getTime).max
+      mem.addData(StreamOps.Event(-1L, new Timestamp(maxTs + 10L * 24 * 3600 * 1000), -1L, "flush", 0.0))
+      q.processAllAvailable()
+      mem.addData() // no-data batch: fire remaining timeouts
+      q.processAllAvailable()
+
+      val sessions = spark.table("sessions_full").as[StreamOps.SessionOut]
+        .collect().filter(_.user_id >= 0)
+      // every real event landed in exactly one emitted session
+      assert(sessions.map(_.n_events).sum == events.length.toLong)
+      val streamed = sessions.groupBy(_.user_id)
+        .map { case (u, ss) => u -> ss.length.toLong }
+      val batch = graft.SparkEntry.queries("q20_sessionize")(spark, dir)
+        .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_sessions")).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("sessionize: closes sessions on gap, carries state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Event]
