@@ -39,7 +39,9 @@ final class FlightPipeline(
   /** One pipeline run; returns the gold snapshot path. */
   def run(now: ZonedDateTime = ZonedDateTime.now(FlightIo.ParisZone)): String = {
     val raw: Seq[Flight] = FlightExtract.allFlights(source, apiLimit)
-    val bronze = spark.createDataFrame(raw.toDF().rdd, FlightModel.flightSilverSchema)
+    // to(schema) reconciles the encoder schema's nullability with the
+    // declared silver schema inside the plan — no drop to the RDD path
+    val bronze = raw.toDF().to(FlightModel.flightSilverSchema)
     FlightIo.writeBronzeCsv(bronze, bronzeBase, now)
 
     val silver = FlightEtl.silver(bronze)
