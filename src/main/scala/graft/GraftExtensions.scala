@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharNgramsDistinct, Float32Dot, WordShingles}
+import graft.functions.{CharNgramsDistinct, Float32Dot, RollingHash64, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -45,6 +45,10 @@ object GraftExtensions {
     "word_shingles" -> { children =>
       require(children.size == 2, "word_shingles(text, n) takes exactly 2 arguments")
       WordShingles(children.head, intArg("word_shingles", children(1)))
+    },
+    "rolling_hash64" -> { children =>
+      require(children.size == 1, "rolling_hash64(text) takes exactly 1 argument")
+      RollingHash64(children.head)
     })
 
   /** Register on an already-running session (builder-time extensions

@@ -71,6 +71,26 @@ object TextKernels {
     * spaces / empty tokens, which `split` keeps) — so the kernel just
     * records token byte offsets and slices, no joining.
     */
+  /** Polynomial rolling hash (Rabin–Karp) over the raw UTF-8 bytes:
+    * `h = h * 31 + byte` in wraparound 64-bit arithmetic. One
+    * multiply-add per byte, no allocation — the cheapest content
+    * fingerprint that still separates every distinct document with
+    * ~2⁻⁶⁴ collision odds (vs md5's parse/format overhead when only an
+    * equality key is needed). The q64 oracle cross-checks injectivity
+    * on the corpus: the duplicate-size distribution grouped by this
+    * hash must equal the one grouped by the text itself.
+    */
+  def rollingHash64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 31L + (bytes(i) & 0xffL)
+      i += 1
+    }
+    h
+  }
+
   def wordShingles(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.getBytes // copy only when the UTF8String is offset into a larger buffer
     val nb = bytes.length
@@ -166,9 +186,34 @@ case class StopwordHits(child: Expression, words: Seq[String]) extends UnaryExpr
     copy(child = newChild)
 }
 
+/** See [[TextKernels.rollingHash64]]: 64-bit content fingerprint. */
+case class RollingHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.rollingHash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.rollingHash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
+    copy(child = newChild)
+}
+
 object CharNgramsDistinct {
   def apply(text: Column, n: Int): Column =
     ColumnBridge.column(CharNgramsDistinct(ColumnBridge.expression(text), n))
+}
+
+object RollingHash64 {
+  def apply(text: Column): Column =
+    ColumnBridge.column(RollingHash64(ColumnBridge.expression(text)))
 }
 
 object StopwordHits {

@@ -284,6 +284,53 @@ object TextQueries {
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(20)
+    },
+
+    // ------------------------------------------------------------------
+    // q64 — rolling-hash fingerprint dedup, oracled by injectivity:
+    // DuckDB cannot evaluate the engine's 64-bit Rabin–Karp hash, but
+    // it can compute the ground truth the hash must reproduce — the
+    // duplicate-group-size distribution when grouping by the TEXT
+    // itself. A single collision anywhere in the corpus would merge
+    // two groups and shift the distribution, failing the hash check.
+    // At scale the fingerprint is one multiply-add per byte with no
+    // allocation (vs md5's digest per row) and shuffles as a single
+    // uniform long — the cheapest exact-dedup key.
+    QueryDef.sql(
+      "q64_fingerprint_dedup",
+      """SELECT dup_count, COUNT(*) AS n_groups FROM (
+        |  SELECT COUNT(*) AS dup_count FROM documents GROUP BY text)
+        |GROUP BY dup_count ORDER BY dup_count""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documents
+        .groupBy(graft.functions.RollingHash64(col("text")).as("fp"))
+        .agg(count(lit(1)).as("dup_count"))
+        .groupBy(col("dup_count"))
+        .agg(count(lit(1)).as("n_groups"))
+        .orderBy(col("dup_count"))
+    },
+
+    // ------------------------------------------------------------------
+    // q65 — BPE-style pre-tokenization count: subword units = letter
+    // runs, single digits, and single punctuation marks (the shape a
+    // byte-pair tokenizer's pre-split produces). One regex pass per
+    // document; fertility = subwords per whitespace token is the
+    // standard tokenizer-cost metric for a training corpus. The
+    // pattern uses only constructs Java regex and RE2 interpret
+    // identically.
+    QueryDef.sql(
+      "q65_subword_tokens",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS INTEGER) AS n_subwords,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS fertility
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sub = size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0)))
+      Tables(s, dir).documentsSpread
+        .select(
+          col("doc_id"),
+          sub.as("n_subwords"),
+          (sub.cast("double") / size(tokens(col("text")))).as("fertility"))
+        .orderBy(col("doc_id"))
     }
   )
 }

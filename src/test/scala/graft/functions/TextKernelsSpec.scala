@@ -46,6 +46,24 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("RollingHash64 == pure-Scala Rabin–Karp model; injective on the corpus") {
+    def model(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xffL))
+    val cases = Seq("", "a", "ab", "a b", "héllo wörld", "日本語", "x" * 5000)
+    val got = cases.toDF("text")
+      .select(RollingHash64(col("text")).as("h")).as[Long].collect()
+    assert(got.toSeq == cases.map(model))
+    // injectivity cross-check, the q64 oracle premise: distinct hashes
+    // == distinct texts over the full sf0.01 corpus
+    val texts = docs.select(countDistinct(col("text"))).head().getLong(0)
+    val hashes = docs.select(countDistinct(RollingHash64(col("text")))).head().getLong(0)
+    assert(hashes == texts)
+    // null flows through (UnaryExpression null-safety)
+    val nulls = Seq[Option[String]](None).toDF("text")
+      .select(RollingHash64(col("text")).as("h"))
+    assert(nulls.head().isNullAt(0))
+  }
+
   test("edge cases: empty, short, consecutive spaces, multi-byte chars") {
     val cases = Seq("", "a", "ab", "abc", "a b", "a b c", "a b c d",
       "a  b c", " leading", "trailing ", "héllo wörld déjà", "日本 語 テスト 文")
