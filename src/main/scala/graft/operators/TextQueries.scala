@@ -61,6 +61,38 @@ object TextQueries {
   private val simhashBits = 16
   private val hiHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
+  /** SimHash signature over single-space tokens, one md5 per token,
+    * bit j = sign of Σ ±1 over hex digit j's high bit — width-generic
+    * (an md5 yields up to 32 hex digits = 32 bits). Shared by q28
+    * (16-bit, reference width) and q66 (32-bit, hamming near-dup).
+    */
+  private[operators] def simhashSig(s: org.apache.spark.sql.SparkSession, dir: String, nBits: Int) = {
+    val tok = Tables(s, dir).documentsSpread
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .withColumn("hx", md5(col("t").cast(BinaryType)))
+    val bitCols = (1 to nBits).map(j =>
+      sum(when(substring(col("hx"), j, 1).isin(hiHex: _*), 1).otherwise(-1)).as(s"s_$j"))
+    val bits = tok.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    bits.select(col("doc_id"),
+      (1 to nBits).map(j =>
+        when(col(s"s_$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  /** DuckDB mirror of [[simhashSig]] (no ORDER BY). */
+  private def simhashSql(nBits: Int): String = {
+    val bitSums = (1 to nBits).map(j =>
+      s"SUM(CASE WHEN substr(md5(t), $j, 1) IN (${hiHex.map(h => s"'$h'").mkString(",")}) THEN 1 ELSE -1 END) AS s_$j")
+      .mkString(",\n  ")
+    val recon = (1 to nBits).map(j =>
+      s"CASE WHEN s_$j > 0 THEN ${1L << (j - 1)} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+       |bits AS (SELECT doc_id,
+       |  $bitSums
+       |FROM tok GROUP BY doc_id)
+       |SELECT doc_id, CAST($recon AS BIGINT) AS simhash FROM bits""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // q23 — per-document token/quality statistics.
@@ -174,29 +206,44 @@ object TextQueries {
     // q28 — 16-bit SimHash from per-token md5 high-bits (sign-sum per
     // bit position, reconstructed as a BIGINT signature).
     QueryDef.sql(
-      "q28_simhash", {
-        val bitSums = (1 to simhashBits).map(j =>
-          s"SUM(CASE WHEN substr(md5(t), $j, 1) IN (${hiHex.map(h => s"'$h'").mkString(",")}) THEN 1 ELSE -1 END) AS s_$j")
-          .mkString(",\n  ")
-        val recon = (1 to simhashBits).map(j =>
-          s"CASE WHEN s_$j > 0 THEN ${1L << (j - 1)} ELSE 0 END").mkString(" + ")
-        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
-           |bits AS (SELECT doc_id,
-           |  $bitSums
-           |FROM tok GROUP BY doc_id)
-           |SELECT doc_id, CAST($recon AS BIGINT) AS simhash FROM bits ORDER BY doc_id""".stripMargin
-      }) { (s, dir) =>
-      val tok = Tables(s, dir).documentsSpread
-        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-        .withColumn("hx", md5(col("t").cast(BinaryType)))
-      val bitCols = (1 to simhashBits).map(j =>
-        sum(when(substring(col("hx"), j, 1).isin(hiHex: _*), 1).otherwise(-1)).as(s"s_$j"))
-      val bits = tok.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-      bits.select(col("doc_id"),
-        (1 to simhashBits).map(j =>
-          when(col(s"s_$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-        .orderBy(col("doc_id"))
+      "q28_simhash",
+      s"${simhashSql(simhashBits)} ORDER BY doc_id") { (s, dir) =>
+      simhashSig(s, dir, simhashBits).orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q66 — SimHash hamming near-dup, exactly oracled: pairs whose
+    // 32-bit signatures differ in ≤1 bit. The scale path is pigeonhole
+    // banding — split the signature into two 16-bit halves; hamming ≤1
+    // means at most one half differs, so every qualifying pair shares
+    // at least one half verbatim and the equi-join on (band, half) is
+    // COMPLETE, not approximate. Candidates then verify with one
+    // xor+bit_count. The oracle brute-forces the O(n²) truth in
+    // DuckDB; at 100 TB widen to 64 bits / 4 bands — same algebra.
+    QueryDef.sql(
+      "q66_simhash_neardup",
+      s"""WITH sig AS (${simhashSql(32)})
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      // persisted: the band self-join reads the signature from cache
+      // instead of re-running the 32-column sign-sum aggregation twice
+      val sig = simhashSig(s, dir, 32).persist()
+      val half = lit(0xFFFFL)
+      val bandRows = sig.select(col("doc_id"), col("simhash"),
+        posexplode(array(
+          shiftright(col("simhash"), 16).bitwiseAND(half),
+          col("simhash").bitwiseAND(half))).as(Seq("band", "bv")))
+      bandRows.select(col("band"), col("bv"), col("doc_id").as("doc_a"), col("simhash").as("sa"))
+        .join(bandRows.select(col("band"), col("bv"), col("doc_id").as("doc_b"), col("simhash").as("sb")),
+          Seq("band", "bv"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+        .filter(col("hamming") <= 1)
+        .select("doc_a", "doc_b", "hamming").distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
     },
 
     // ------------------------------------------------------------------
