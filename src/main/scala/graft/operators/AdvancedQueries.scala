@@ -42,12 +42,20 @@ object AdvancedQueries {
     // hash-checked as q62, and sketch accuracy vs exact is covered in
     // AdvancedOpsSpec.
     QueryDef.rowsOnly("q43_approx_distinct") { (s, dir) =>
-      Tables(s, dir).lineitem
-        .groupBy(col("l_returnflag"))
+      // sketch and exact as two separate aggregations joined on the
+      // tiny group key: mixing a distinct agg with non-distinct ones
+      // in a single agg forces Expand (2× every input row before the
+      // shuffle) — measured 1.6× slower at sf0.1 than two passes over
+      // the pruned single-column scan
+      val li = Tables(s, dir).lineitem
+      val sketch = li.groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
           count(lit(1)).as("n_lines"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      sketch.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"), col("n_lines"))
         .orderBy(col("l_returnflag"))
     },
 
