@@ -121,6 +121,59 @@ object AdvancedQueries {
     },
 
     // ------------------------------------------------------------------
+    // q67 — time-range self join through the bucketed RangeJoin
+    // operator: same-user event pairs within 15 minutes. The oracle is
+    // the plain inequality join (fine at sf0.01); the engine side must
+    // produce identical pairs from the gap-bucketed equi-join —
+    // completeness of the bucketing is exactly what the hash check
+    // pins. Plan-guarded against nested-loop fallback in
+    // PlanQualitySpec.
+    QueryDef.sql(
+      "q67_event_range_join",
+      """SELECT a.event_id AS event_a, b.event_id AS event_b,
+        |  CAST(abs(epoch_us(b.ts) - epoch_us(a.ts)) AS BIGINT) AS gap_us
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND a.event_id < b.event_id
+        |  AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 900000000
+        |ORDER BY event_a, event_b""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events.select(col("event_id"), col("user_id"), col("ts"))
+      val a = e.select(col("event_id").as("event_a"), col("user_id"), col("ts").as("ts_a"))
+      val b = e.select(col("event_id").as("event_b"), col("user_id"), col("ts").as("ts_b"))
+      RangeJoin.withinGap(a, b, Seq("user_id"), "ts_a", "ts_b", gapMicros = 900000000L)
+        .filter(col("event_a") < col("event_b"))
+        .select(col("event_a"), col("event_b"),
+          abs(unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("gap_us"))
+        .orderBy(col("event_a"), col("event_b"))
+    },
+
+    // ------------------------------------------------------------------
+    // q68 — the typed TopKByCount Aggregator as a driver-checked
+    // operator: exact top-3 tokens per language. The Aggregator keeps
+    // per-partition count maps (map-side partial agg, mergeable) and
+    // prunes at finish with the (count desc, token asc) tiebreak the
+    // oracle's window reproduces.
+    QueryDef.sql(
+      "q68_topk_per_group",
+      """WITH tok AS (SELECT lang, unnest(string_split(text,' ')) AS token FROM documents),
+        |counts AS (SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+        |ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY lang ORDER BY n DESC, token) AS rk FROM counts)
+        |SELECT lang, CAST(rk AS INTEGER) AS rk, token, n
+        |FROM ranked WHERE rk <= 3 ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val pairs = Tables(s, dir).documentsSpread
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .as[(String, String)]
+      pairs.groupByKey(_._1).mapValues(_._2)
+        .agg(new graft.functions.TopKByCount(3).toColumn.name("topk"))
+        .toDF("lang", "topk")
+        .select(col("lang"), posexplode(col("topk")).as(Seq("pos", "tc")))
+        .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+          col("tc._1").as("token"), col("tc._2").as("n"))
+        .orderBy(col("lang"), col("rk"))
+    },
+
+    // ------------------------------------------------------------------
     // q55 — GROUPING SETS through the engine's SQL surface: the Spark
     // side runs the IDENTICAL SQL text as the DuckDB oracle over a
     // registered temp view (spark.sql is a first-class entry point,

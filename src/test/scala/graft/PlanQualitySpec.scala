@@ -90,6 +90,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("aggregate(zip_with"), "interpreted HOF projection crept back")
   }
 
+  test("q67: range join plans as a bucketed equi-join, not a nested loop") {
+    val p = plan("q67_event_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop fallback:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), s"cartesian fallback:\n${p.take(1500)}")
+  }
+
   test("no query plan contains a collect-driven loop (Exchange-only shuffles)") {
     // structural smoke over every registered query at tiny SF: the plan
     // tree must build lazily without driver-side actions
