@@ -60,6 +60,33 @@ object StreamOps {
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join: left rows pair with right rows of
+    * the same `key` whose event time falls within ±`gap` — the
+    * continuous form of the batch [[graft.operators.RangeJoin]].
+    * Both sides carry watermarks and the join condition bounds the
+    * time difference in BOTH directions, which is what lets Spark
+    * evict buffered state once the watermark passes (an unbounded
+    * condition would buffer each side forever). Column names: callers
+    * pass pre-disambiguated frames; `leftTime`/`rightTime` name the
+    * two event-time columns.
+    */
+  def intervalJoinStreams(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      gap: String = "15 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTime, watermark)
+    val r = right.withWatermark(rightTime, watermark)
+    l.join(r,
+      col(key) === col(rightKey) &&
+        col(rightTime) >= col(leftTime) - expr(s"INTERVAL $gap") &&
+        col(rightTime) <= col(leftTime) + expr(s"INTERVAL $gap"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   final case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)

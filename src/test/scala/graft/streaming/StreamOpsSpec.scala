@@ -116,6 +116,41 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intervalJoinStreams equals the batch bucketed range join on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.Tables(spark, dir).events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[StreamOps.Event].collect()
+    val memA = MemoryStream[StreamOps.Event]
+    val memB = MemoryStream[StreamOps.Event]
+    val a = memA.toDF().select(col("event_id").as("ea"), col("user_id").as("ua"), col("ts").as("ta"))
+    val b = memB.toDF().select(col("event_id").as("eb"), col("user_id").as("ub"), col("ts").as("tb"))
+    val q = StreamOps.intervalJoinStreams(a, b, "ua", "ub", "ta", "tb", gap = "15 minutes")
+      .filter(col("ea") < col("eb"))
+      .select("ea", "eb")
+      .writeStream.format("memory").queryName("interval_join")
+      .outputMode("append").start()
+    try {
+      memA.addData(events.toIndexedSeq: _*)
+      memB.addData(events.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("interval_join").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val e = graft.Tables(spark, dir).events.select(col("event_id"), col("user_id"), col("ts"))
+      val batch = graft.operators.RangeJoin.withinGap(
+          e.select(col("event_id").as("ea"), col("user_id"), col("ts").as("ta")),
+          e.select(col("event_id").as("eb"), col("user_id"), col("ts").as("tb")),
+          Seq("user_id"), "ta", "tb", 900L * 1000000)
+        .filter(col("ea") < col("eb"))
+        .select("ea", "eb").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+    } finally q.stop()
+  }
+
   test("sessionize: closes sessions on gap, carries state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.Event]
