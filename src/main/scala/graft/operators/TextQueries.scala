@@ -61,6 +61,52 @@ object TextQueries {
   private val simhashBits = 16
   private val hiHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
+  /** Blocked char-3-gram Jaccard pairs (threshold 0.6) — shared by q29
+    * (the pairs themselves) and q69 (components over them). Pair
+    * enumeration by block equi-join of DOC-level rows (one row per
+    * document carrying its sorted gram-hash set), then one merge-walk
+    * kernel call per pair — instead of exploding to per-gram rows and
+    * re-aggregating an O(pairs · shared-grams) join intermediate. The
+    * join shuffles only #docs rows; the quadratic-within-block pair
+    * stream never hits an exchange (overlap and sizes come from the
+    * same projection and are filtered immediately). Gram identity via
+    * 64-bit hashes — collision odds across ~10⁵ grams are ~1e-10,
+    * negligible.
+    */
+  private[operators] def jaccardPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = Tables(s, dir).documentsSpread
+    val g = docs.select(col("lang"), col("source"), col("doc_id"),
+      graft.functions.CharNgramHashesSorted(col("text"), 3).as("hs"))
+    g.select(col("lang"), col("source"), col("doc_id").as("doc_a"), col("hs").as("ga"))
+      .join(g.select(col("lang").as("lang_b"), col("source").as("source_b"),
+        col("doc_id").as("doc_b"), col("hs").as("gb")),
+        col("lang") === col("lang_b") && col("source") === col("source_b") &&
+          col("doc_a") < col("doc_b"))
+      .withColumn("overlap", graft.functions.SortedLongIntersectCount(col("ga"), col("gb")))
+      .withColumn("jaccard",
+        col("overlap").cast(DoubleType) / (size(col("ga")) + size(col("gb")) - col("overlap")))
+      .filter(col("jaccard") >= 0.6)
+  }
+
+  /** DuckDB mirror of [[jaccardPairs]] (no ORDER BY). */
+  private val jaccardPairsSql =
+    """WITH g AS (
+      |  SELECT doc_id, lang, source,
+      |    unnest(list_distinct(list_transform(range(1, greatest(length(text)-1, 1)),
+      |      i -> substr(text, i, 3)))) AS gram
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.lang AS lang, a.source AS source,
+      |    a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.lang = b.lang
+      |    AND a.source = b.source AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT lang, source, doc_a, doc_b,
+      |  CAST(overlap AS DOUBLE) / (sa.sz + sb.sz - overlap) AS jaccard
+      |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(overlap AS DOUBLE) / (sa.sz + sb.sz - overlap) >= 0.6""".stripMargin
+
   /** SimHash signature over single-space tokens, one md5 per token,
     * bit j = sign of Σ ±1 over hex digit j's high bit — width-generic
     * (an md5 yields up to 32 hex digits = 32 bits). Shared by q28
@@ -251,46 +297,33 @@ object TextQueries {
     // pairwise only within (lang, source) blocks, threshold 0.6.
     QueryDef.sql(
       "q29_ngram_jaccard_pairs",
-      """WITH g AS (
-        |  SELECT doc_id, lang, source,
-        |    unnest(list_distinct(list_transform(range(1, greatest(length(text)-1, 1)),
-        |      i -> substr(text, i, 3)))) AS gram
-        |  FROM documents),
-        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.lang AS lang, a.source AS source,
-        |    a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS overlap
-        |  FROM g a JOIN g b ON a.gram = b.gram AND a.lang = b.lang
-        |    AND a.source = b.source AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3, 4)
-        |SELECT lang, source, doc_a, doc_b,
-        |  CAST(overlap AS DOUBLE) / (sa.sz + sb.sz - overlap) AS jaccard
-        |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE CAST(overlap AS DOUBLE) / (sa.sz + sb.sz - overlap) >= 0.6
-        |ORDER BY lang, source, doc_a, doc_b""".stripMargin) { (s, dir) =>
-      // Pair enumeration by block equi-join of DOC-level rows (one row
-      // per document carrying its sorted gram-hash set), then one
-      // merge-walk kernel call per pair — instead of exploding to
-      // per-gram rows and re-aggregating an O(pairs · shared-grams)
-      // join intermediate. The join shuffles only #docs rows; the
-      // quadratic-within-block pair stream never hits an exchange
-      // (overlap and sizes come from the same projection and are
-      // filtered immediately). Gram identity via 64-bit hashes —
-      // collision odds across ~10⁵ grams are ~1e-10, negligible.
-      val docs = Tables(s, dir).documentsSpread
-      val g = docs.select(col("lang"), col("source"), col("doc_id"),
-        graft.functions.CharNgramHashesSorted(col("text"), 3).as("hs"))
-      val jac = g.select(col("lang"), col("source"), col("doc_id").as("doc_a"), col("hs").as("ga"))
-        .join(g.select(col("lang").as("lang_b"), col("source").as("source_b"),
-          col("doc_id").as("doc_b"), col("hs").as("gb")),
-          col("lang") === col("lang_b") && col("source") === col("source_b") &&
-            col("doc_a") < col("doc_b"))
-        .withColumn("overlap", graft.functions.SortedLongIntersectCount(col("ga"), col("gb")))
-        .withColumn("jaccard",
-          col("overlap").cast(DoubleType) / (size(col("ga")) + size(col("gb")) - col("overlap")))
-        .filter(col("jaccard") >= 0.6)
-      jac.select("lang", "source", "doc_a", "doc_b", "jaccard")
+      s"$jaccardPairsSql\nORDER BY lang, source, doc_a, doc_b") { (s, dir) =>
+      jaccardPairs(s, dir)
+        .select("lang", "source", "doc_a", "doc_b", "jaccard")
         .orderBy(col("lang"), col("source"), col("doc_a"), col("doc_b"))
+    },
+
+    // ------------------------------------------------------------------
+    // q69 — dedup cluster assignment: connected components over the
+    // q29 near-dup pair graph (hash-min label propagation — see
+    // [[ConnectedComponents]]). Pairs say "a ~ b"; retention policy
+    // needs the transitive closure. The oracle computes the same
+    // closure with a recursive CTE (min reachable id per node).
+    QueryDef.sql(
+      "q69_neardup_components",
+      s"""WITH RECURSIVE pairs AS ($jaccardPairsSql),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, label) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+         |  UNION
+         |  SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node)
+         |SELECT node AS doc_id, MIN(label) AS component
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val edges = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      ConnectedComponents.run(edges)
+        .select(col("node").as("doc_id"), col("label").as("component"))
+        .orderBy(col("doc_id"))
     },
 
     // ------------------------------------------------------------------
