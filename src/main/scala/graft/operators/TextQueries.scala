@@ -367,6 +367,59 @@ object TextQueries {
     },
 
     // ------------------------------------------------------------------
+    // q70 — the end-to-end curation composition a training-data
+    // pipeline actually runs: language-ID → quality gate → exact dedup
+    // (keep lowest doc_id), in ONE DataFrame flow — one scan, the
+    // kernel scorers in a single projection, one shuffle (the
+    // fingerprint groupBy). Hash-checked whole: the oracle re-derives
+    // every stage in SQL, so a drift in any stage (scorer, threshold
+    // comparison, dedup rule) breaks the hash.
+    QueryDef.sql(
+      "q70_corpus_curation",
+      s"""WITH h AS (SELECT doc_id, text,
+         |  $langsSql
+         |FROM documents),
+         |scored AS (SELECT doc_id, text,
+         |  CASE WHEN h_en + h_es + h_de + h_fr = 0 THEN 'und'
+         |       WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+         |       WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+         |       WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+         |       ELSE 'fr' END AS lang_pred,
+         |  (CAST(least(len(string_split(text,' ')), 100) AS DOUBLE) / 100)
+         |    * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+         |       / len(string_split(text,' '))) AS quality
+         |FROM h),
+         |kept AS (SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.2)
+         |SELECT MIN(doc_id) AS doc_id, MAX(quality) AS quality,
+         |  CAST(COUNT(*) AS BIGINT) AS n_copies
+         |FROM kept GROUP BY md5(text) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir).documentsSpread
+      val withHits = langStopwords.foldLeft(d) { case (df, (lang, words)) =>
+        df.withColumn(s"h_$lang", graft.functions.StopwordHits(col("text"), words))
+      }
+      val hitCols = langStopwords.map { case (lang, _) => col(s"h_$lang") }
+      val best = greatest(hitCols: _*)
+      val pred = when(hitCols.reduce(_ + _) === 0, lit("und"))
+        .otherwise(langStopwords.foldRight(lit("fr"): org.apache.spark.sql.Column) {
+          case ((lang, _), acc) =>
+            if (lang == "fr") acc
+            else when(col(s"h_$lang") === best, lit(lang)).otherwise(acc)
+        })
+      withHits
+        .select(col("doc_id"), col("text"),
+          pred.as("lang_pred"), qualityScore(col("text")).as("quality"))
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.2)
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          // identical text ⇒ identical quality; max() keeps the agg
+          // deterministic without trusting first()'s ordering
+          max(col("quality")).as("quality"),
+          count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("quality"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
     // q64 — rolling-hash fingerprint dedup, oracled by injectivity:
     // DuckDB cannot evaluate the engine's 64-bit Rabin–Karp hash, but
     // it can compute the ground truth the hash must reproduce — the
