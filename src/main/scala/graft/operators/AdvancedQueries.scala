@@ -121,6 +121,33 @@ object AdvancedQueries {
     },
 
     // ------------------------------------------------------------------
+    // q33 — the salted skew join, driver-checked for semantic
+    // transparency: l_linenumber has ~7 values (each ~1/7 of the fact
+    // table — the classic straggler key), the dim side is replicated
+    // once per salt, and the oracle computes the PLAIN join — the hash
+    // can only match if salting changes nothing but the partitioning.
+    QueryDef.sql(
+      "q33_salted_skew_join",
+      """WITH dim AS (SELECT DISTINCT l_linenumber,
+        |  'L' || CAST(l_linenumber AS VARCHAR) AS label FROM lineitem)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN dim USING (l_linenumber)
+        |GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+      val dim = li.select(col("l_linenumber")).distinct()
+        .withColumn("label", concat(lit("L"), col("l_linenumber").cast("string")))
+      SkewOps.saltedJoin(li, dim, key = "l_linenumber",
+        discriminator = "l_orderkey", salts = 8)
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("revenue"))
+        .orderBy(col("label"))
+    },
+
+    // ------------------------------------------------------------------
     // q67 — time-range self join through the bucketed RangeJoin
     // operator: same-user event pairs within 15 minutes. The oracle is
     // the plain inequality join (fine at sf0.01); the engine side must
