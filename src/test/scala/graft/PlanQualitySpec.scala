@@ -90,6 +90,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("aggregate(zip_with"), "interpreted HOF projection crept back")
   }
 
+  test("q70: the curation composition reads the corpus exactly once") {
+    val p = plan("q70_corpus_curation")
+    // lang-ID, quality, filter, and fingerprint all fold into the one
+    // scan's projection; a second FileScan means a stage re-reads text
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p.take(1500))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+  }
+
   test("q67: range join plans as a bucketed equi-join, not a nested loop") {
     val p = plan("q67_event_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop fallback:\n${p.take(1500)}")
