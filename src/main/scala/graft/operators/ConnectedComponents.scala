@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Connected components over an undirected edge list — the cluster-
   * assignment step a dedup pipeline runs after pair generation
@@ -35,26 +36,43 @@ object ConnectedComponents {
       .distinct()
       .persist()
 
-    // each round's plan references the previous round's TWICE (the
-    // union and the convergence join), so raw lineage doubles per
-    // iteration — 2^rounds plan nodes by round 10. localCheckpoint
-    // (eager) truncates the plan to the materialized RDD every round,
-    // keeping iteration N's plan constant-size. This is the standard
-    // Spark shape for iterative algorithms.
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Lineage: each round's plan references the previous round's, so
+    // raw lineage compounds per iteration and blows the heap by round
+    // ~10. localCheckpoint (eager) truncates the plan to the
+    // materialized RDD every round, keeping iteration N's plan
+    // constant-size — the standard Spark shape for iterative
+    // algorithms.
+    //
+    // Seeding: labels start at min(self, neighbors) — round 1 fused
+    // into initialization, so clique-shaped components (the near-dup
+    // norm) are already at fixpoint when the loop begins.
+    var labels = sym.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("node"), least(col("src"), col("mn")).as("label"))
       .localCheckpoint()
-    var changed = 1L
+
+    // Convergence via the label-sum invariant: labels only ever
+    // decrease, so the total is strictly monotone and stalls exactly
+    // at fixpoint — one tiny aggregate over the checkpointed RDD per
+    // round instead of a join+count. DECIMAL(38,0): n × maxId cannot
+    // overflow.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
+
+    var prevSum = labelSum(labels)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (!converged && iter < maxIter) {
       // each neighbor offers its label; nodes keep the min seen
       val offers = sym.join(labels, sym("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
       val next = labels.unionAll(offers)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
-        .filter(col("label") < col("prev")).count()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels.unpersist()
       labels = next
       iter += 1
