@@ -420,6 +420,30 @@ object TextQueries {
     },
 
     // ------------------------------------------------------------------
+    // q71 — leakage-safe train/val/test split: the split key is the
+    // CONTENT fingerprint, not the row id, so exact duplicates always
+    // land in the same split (doc-id hashing puts copies of one
+    // document on both sides of the train/test wall — the classic
+    // contamination bug). First md5 hex char partitions 16-ways:
+    // '0'-'d' train (87.5%), 'e' val, 'f' test. Pure projection — no
+    // shuffle at all; the split of 100 TB is a metadata-free map.
+    QueryDef.sql(
+      "q71_train_split",
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(text), 1, 1) = 'f' THEN 'test'
+        |       WHEN substr(md5(text), 1, 1) = 'e' THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val c = substring(fingerprint(col("text")), 1, 1)
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        when(c === "f", lit("test"))
+          .when(c === "e", lit("val"))
+          .otherwise(lit("train")).as("split"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
     // q64 — rolling-hash fingerprint dedup, oracled by injectivity:
     // DuckDB cannot evaluate the engine's 64-bit Rabin–Karp hash, but
     // it can compute the ground truth the hash must reproduce — the
