@@ -87,6 +87,56 @@ object StreamOps {
         col(rightTime) <= col(leftTime) + expr(s"INTERVAL $gap"))
   }
 
+  /** Continuous similarity search: a stream of (qid, ts, embedding)
+    * queries searched against a static IVF-assigned corpus, emitting
+    * per-window top-k neighbor lists in append mode.
+    *
+    * Streaming constraints shape the plan: row-number windows are
+    * illegal on streams, so (1) probe-cell selection happens INSIDE the
+    * row — the k centroids arrive as literals (the "broadcast the
+    * trained model" pattern) and an array_sort over k scored structs
+    * picks the `nprobe` nearest cells; (2) the final per-query top-k is
+    * a watermarked windowed aggregation with the mergeable
+    * [[graft.functions.TopKByScore]] UDAF, so state is O(k) per open
+    * (window, qid) and append mode fires on watermark close.
+    *
+    * Cell ranking is the same `cosine` expression the batch path uses
+    * (centroid vector as an array literal — its norm constant-folds),
+    * so stream and batch probe choices agree bit-for-bit.
+    */
+  def annStream(
+      queries: DataFrame,
+      assigned: DataFrame,
+      centroids: Array[(Long, Array[Float])],
+      topK: Int,
+      nprobe: Int,
+      window_ : String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame = {
+    import graft.functions.VectorFunctions
+    val scored = centroids.map { case (cid, cv) =>
+      struct(
+        (-VectorFunctions.cosine(col("embedding"), typedlit(cv))).as("neg"),
+        lit(cid).as("cid"))
+    }
+    val probes = queries
+      .withColumn("cells",
+        slice(array_sort(array(scored: _*)), 1, nprobe))
+      .select(col("qid"), col("ts"), col("embedding").as("qv"),
+        explode(col("cells.cid")).as("cell"))
+    val cands = assigned.select(
+      col("cell"), col("vec_id").as("nid"), col("embedding").as("nv"))
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKByScore(topK),
+      org.apache.spark.sql.Encoders.product[(Long, Double)])
+    probes.join(cands, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", VectorFunctions.cosine(col("qv"), col("nv")))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("win"), col("qid"))
+      .agg(topk(col("nid"), col("cos")).as("neighbors"))
+      .select(col("win.start").as("window_start"), col("qid"), col("neighbors"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   final case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)

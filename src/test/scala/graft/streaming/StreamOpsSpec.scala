@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.TestSpark
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -148,6 +149,54 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(batch.nonEmpty)
       assert(streamed == batch,
         s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+    } finally q.stop()
+  }
+
+  final case class QueryVec(qid: Long, ts: Timestamp, embedding: Array[Float])
+
+  test("annStream: windowed streaming ANN equals batch ivfSearch exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val k = 8
+    val assigned = graft.operators.SimilarityOps.ivfAssign(emb, k).cache()
+    assigned.count()
+    val centroidRows = graft.operators.SimilarityOps.ivfCentroids(emb, k)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val queriesDf = emb.filter(col("vec_id") % 100 === 0)
+
+    val mem = MemoryStream[QueryVec]
+    val q = StreamOps.annStream(
+        mem.toDF().select(col("qid"), col("ts"), col("embedding")),
+        assigned, centroidRows, topK = 5, nprobe = 2)
+      .writeStream.format("memory").queryName("ann_stream")
+      .outputMode("append").start()
+    try {
+      val qvecs = queriesDf.collect()
+        .map(r => QueryVec(r.getAs[Long]("vec_id"), ts(0), r.getSeq[Float](1).toArray))
+      mem.addData(qvecs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // advance the watermark past the window so append emits it
+      mem.addData(QueryVec(-1L, ts(600), qvecs.head.embedding))
+      q.processAllAvailable()
+
+      val streamed = spark.table("ann_stream")
+        .filter(col("qid") >= 0)
+        .select(col("qid"), col("neighbors")).collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[Row](1).map(n => (n.getLong(0), n.getDouble(1))))
+        .toMap
+      val batch = graft.operators.SimilarityOps.ivfSearch(
+          assigned, queriesDf, topK = 5,
+          graft.operators.SimilarityOps.ivfCentroids(emb, k), nprobe = 2)
+        .collect()
+        .groupBy(_.getAs[Long]("qid"))
+        .map { case (qid, rs) =>
+          qid -> rs.sortBy(_.getAs[Int]("rn"))
+            .map(r => (r.getAs[Long]("nid"), r.getAs[Double]("cos"))).toSeq
+        }
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"qids streamed=${streamed.keySet} batch=${batch.keySet}")
     } finally q.stop()
   }
 
