@@ -19,6 +19,7 @@ object SparkEntry {
       operators.ExtendedQueries.all ++
       operators.AnalyticsQueries.all ++
       operators.AdvancedQueries.all ++
+      operators.CurationQueries.all ++
       operators.FlightQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,258 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import graft.functions.WordShingles
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, DoubleType, IntegerType, LongType, StringType}
+
+/** Corpus-curation stages a production training-data pipeline runs
+  * between raw crawl and tokenized batches: eval-set decontamination,
+  * PII redaction, repetition (boilerplate) signals, sequence packing,
+  * and mixture-balanced sampling. Beyond the reference's surface —
+  * these extend the `documents` pipeline of [[TextQueries]] toward a
+  * complete data-curation engine. Every query is DuckDB-oracled.
+  *
+  * Scale design notes (100 TB):
+  *   - decontamination joins train shingles against the DISTINCT eval
+  *     shingle set — eval benchmarks are tiny relative to the corpus,
+  *     so the eval side broadcasts and the train side never shuffles
+  *     its explosion (the per-doc count is the only exchange);
+  *   - PII redaction and mixture sampling are pure map-side
+  *     projections/filters (no shuffle of the corpus at all);
+  *   - repetition signals aggregate the token explosion with partial
+  *     (map-side) combine — the shuffle carries one row per document;
+  *   - sequence packing is the standard concatenate-and-chunk layout
+  *     expressed DECLARATIVELY: a per-source running token offset
+  *     (window cumsum) plus a range-explode onto fixed-size sequence
+  *     slots — no stateful mapPartitions, so Catalyst/AQE still own
+  *     the plan; at real scale the window partitions by
+  *     (source, shard) to bound sort width.
+  */
+object CurationQueries {
+
+  private val PackBudget = 256L // tokens per packed training sequence
+
+  private val EmailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  private val PhoneRe = """\b555-[0-9]{1,4}\b"""
+  private val Ipv4Re = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+
+  /** Scrub emails, 555-prefix phone numbers, and IPv4 literals —
+    * email first so its host part can't be half-eaten by the IP rule.
+    * Patterns stay in the RE2 ∩ java.util.regex common dialect so the
+    * DuckDB oracle applies the identical expressions.
+    */
+  private[graft] def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>")
+
+  /** Number of PII matches [[redactPii]] would scrub. */
+  private[graft] def piiCount(c: Column): Column =
+    (regexp_count(c, lit(EmailRe)) + regexp_count(c, lit(PhoneRe))
+      + regexp_count(c, lit(Ipv4Re))).cast(IntegerType)
+
+  /** Distinct word-8-gram rows (doc_id, s) for the docs matching
+    * `pred`; the filter sits below the explode so each side of the
+    * train/eval wall shingles only its own documents.
+    */
+  private def shingleRows(d: org.apache.spark.sql.DataFrame, pred: Column) =
+    d.filter(pred)
+      .select(col("doc_id"),
+        explode(array_distinct(WordShingles(col("text"), 8))).as("s"))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // q72 — eval-set decontamination: docs whose word-8-grams overlap
+    // the held-out eval slice (doc_id % 10 == 0 stands in for the
+    // benchmark set) are flagged before training. 8-gram overlap is
+    // the standard contamination test (13-gram in the literature;
+    // 8 here because the synthetic docs are ~50 tokens).
+    QueryDef.sql(
+      "q72_decontamination",
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(tk)-6,1)),
+        |    i -> array_to_string(list_slice(tk, i, i+7), ' ')))) AS s FROM toks),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+        |hits AS (SELECT sh.doc_id, COUNT(*) AS shared FROM sh JOIN ev USING (s)
+        |         WHERE sh.doc_id % 10 <> 0 GROUP BY sh.doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(h.shared,0) AS INTEGER) AS shared_ngrams,
+        |       COALESCE(h.shared,0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 10 <> 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir).documentsSpread
+      val ev = shingleRows(d, col("doc_id") % 10 === 0).select(col("s")).distinct()
+      val hits = shingleRows(d, col("doc_id") % 10 =!= 0)
+        .join(ev, "s")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast(IntegerType).as("shared"))
+      d.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("shared"), lit(0)).as("shared_ngrams"),
+          (coalesce(col("shared"), lit(0)) > 0).as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q73 — PII redaction: scrub emails / phone numbers / IPv4s with
+    // anchored regexes and count what was removed. The corpus is
+    // synthetic words, so deterministic PII is injected first (same
+    // construction both engines) — the oracle hash then certifies the
+    // redaction itself, not just a no-op pass. Regexes restricted to
+    // the RE2 ∩ java.util.regex common dialect.
+    QueryDef.sql(
+      "q73_pii_redaction",
+      """WITH inj AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |       || '@mail.example.com call 555-0' || CAST(doc_id % 100 AS VARCHAR)
+        |       || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+        |FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b555-[0-9]{1,4}\b', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+        |     + len(regexp_extract_all(t, '\b555-[0-9]{1,4}\b'))
+        |     + len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        |    AS INTEGER) AS n_pii
+        |FROM inj ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val injected = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast(StringType),
+        lit("@mail.example.com call 555-0"), (col("doc_id") % 100).cast(StringType),
+        lit(" ip 10.0."), (col("doc_id") % 256).cast(StringType), lit(".7"))
+      Tables(s, dir).documents
+        .select(col("doc_id"), injected.as("t"))
+        .select(col("doc_id"),
+          redactPii(col("t")).as("redacted"),
+          piiCount(col("t")).as("n_pii"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q74 — repetition signals (Gopher-style quality heuristics):
+    // duplicate bigram/trigram fraction and most-frequent-token
+    // dominance per document — the boilerplate/template detectors that
+    // gate documents before dedup even runs. Shingle counts via the
+    // codegen'd [[WordShingles]] kernel (a HOF lambda here costs ~3 µs
+    // per element — measured round 1); the top-token count is the only
+    // explosion and partial-aggregates to one row per (doc, token).
+    QueryDef.sql(
+      "q74_repetition_signals",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |s AS (SELECT doc_id, len(tk) AS ntok,
+        |  list_transform(range(1, greatest(len(tk),1)), i -> tk[i] || ' ' || tk[i+1]) AS bi,
+        |  list_transform(range(1, greatest(len(tk)-1,1)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS tri
+        |  FROM t),
+        |m AS (SELECT doc_id, MAX(c) AS maxc FROM
+        |  (SELECT doc_id, tok, COUNT(*) AS c
+        |   FROM (SELECT doc_id, unnest(tk) AS tok FROM t) GROUP BY doc_id, tok)
+        |  GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  CAST(len(bi) - len(list_distinct(bi)) AS DOUBLE) / len(bi) AS dup_bigram_frac,
+        |  CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE) / len(tri) AS dup_trigram_frac,
+        |  CAST(m.maxc AS DOUBLE) / s.ntok AS top_token_frac
+        |FROM s JOIN m ON m.doc_id = s.doc_id ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir).documentsSpread
+      val stats = d.select(col("doc_id"), tokenCount(col("text")).as("ntok"),
+        WordShingles(col("text"), 2).as("bi"), WordShingles(col("text"), 3).as("tri"))
+        .select(col("doc_id"), col("ntok"),
+          size(col("bi")).as("nbi"), size(array_distinct(col("bi"))).as("dbi"),
+          size(col("tri")).as("ntri"), size(array_distinct(col("tri"))).as("dtri"))
+      val maxc = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("maxc"))
+      stats.join(maxc, "doc_id")
+        .select(col("doc_id"),
+          ((col("nbi") - col("dbi")).cast(DoubleType) / col("nbi")).as("dup_bigram_frac"),
+          ((col("ntri") - col("dtri")).cast(DoubleType) / col("ntri")).as("dup_trigram_frac"),
+          (col("maxc").cast(DoubleType) / col("ntok")).as("top_token_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q75 — sequence packing: lay documents end-to-end per source and
+    // chunk the token stream into fixed 256-token training sequences
+    // (concatenate-and-chunk, the standard pretraining layout; docs
+    // straddle sequence boundaries). Declarative: running token
+    // offset (window cumsum) → each doc spans sequences
+    // st div B .. (en-1) div B → range-explode + slice arithmetic.
+    // Output is one row per (doc, sequence) with the doc's token
+    // slice [tok_from, tok_to) carried by that sequence.
+    QueryDef.sql(
+      "q75_sequence_pack",
+      """WITH n AS (SELECT doc_id, source, len(string_split(text,' ')) AS ntok FROM documents),
+        |c AS (SELECT doc_id, source, ntok,
+        |  CAST(SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM n WHERE ntok > 0),
+        |spans AS (SELECT source, doc_id, cum - ntok AS st, cum AS en FROM c),
+        |ex AS (SELECT source, doc_id, st, en,
+        |  unnest(range(st // 256, (en-1) // 256 + 1)) AS seq FROM spans)
+        |SELECT source, CAST(seq AS BIGINT) AS seq_id, doc_id,
+        |  CAST(greatest(st, seq*256) - st AS BIGINT) AS tok_from,
+        |  CAST(least(en, (seq+1)*256) - st AS BIGINT) AS tok_to
+        |FROM ex ORDER BY source, seq_id, doc_id""".stripMargin) { (s, dir) =>
+      packedSequences(s, dir)
+        .orderBy(col("source"), col("seq_id"), col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q76 — mixture-balanced sampling: downsample every language to the
+    // smallest language's row count (equal-representation data mixing
+    // — lang is the skewed axis in this corpus: en is ~3.4× fr)
+    // with a DETERMINISTIC content-hash Bernoulli — selection depends
+    // only on (text, rate), so it is reproducible across cluster
+    // sizes and keeps exact duplicates' fates identical. Rates come
+    // from two broadcast-size aggregates; the corpus itself is only
+    // map-filtered (rate*65536 is a power-of-two scale, so the
+    // double arithmetic is bit-identical in both engines).
+    QueryDef.sql(
+      "q76_mixture_sample",
+      """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+        |r AS (SELECT lang, cnt, (SELECT MIN(cnt) FROM c) AS mn FROM c)
+        |SELECT d.doc_id, d.lang, CAST(r.mn AS DOUBLE)/r.cnt AS keep_rate
+        |FROM documents d JOIN r USING (lang)
+        |WHERE r.mn = r.cnt OR substr(md5('mix:' || d.text),1,4) <
+        |  printf('%04x', CAST(floor(CAST(r.mn AS DOUBLE)/r.cnt * 65536) AS INTEGER))
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir).documents
+      val c = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      val mn = c.agg(min(col("cnt")).as("mn"))
+      val r = c.crossJoin(broadcast(mn))
+      val rate = col("mn").cast(DoubleType) / col("cnt")
+      val thresh = format_string("%04x", floor(rate * 65536).cast(IntegerType))
+      d.join(broadcast(r), "lang")
+        .filter(col("mn") === col("cnt") ||
+          substring(md5(concat(lit("mix:"), col("text")).cast(BinaryType)), 1, 4) < thresh)
+        .select(col("doc_id"), col("lang"), rate.as("keep_rate"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  /** The q75 plan without its presentation ORDER BY — reused by the
+    * packing-invariant spec (coverage, budget, contiguity).
+    */
+  private[graft] def packedSequences(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val b = lit(PackBudget)
+    val n = Tables(s, dir).documents
+      .select(col("doc_id"), col("source"), tokenCount(col("text")).cast(LongType).as("ntok"))
+      .filter(col("ntok") > 0)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = n.withColumn("cum", sum(col("ntok")).over(w))
+      .select(col("source"), col("doc_id"),
+        (col("cum") - col("ntok")).as("st"), col("cum").as("en"))
+    spans
+      .withColumn("seq", explode(sequence(expr(s"st div $PackBudget"), expr(s"(en-1) div $PackBudget"))))
+      .select(col("source"), col("seq").as("seq_id"), col("doc_id"),
+        (greatest(col("st"), col("seq") * b) - col("st")).as("tok_from"),
+        (least(col("en"), (col("seq") + 1) * b) - col("st")).as("tok_to"))
+  }
+}
