@@ -73,10 +73,21 @@ object Bench {
         name -> best
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Compact keys + 3-decimal values: rounds 1-2 emitted the full
+    // query names and raw nanosecond-derived doubles, pushing the JSON
+    // line past the harness' stdout-tail parse window (BENCH_r01/r02
+    // both recorded "parsed": null with the line intact but truncated
+    // at the front). "q01_pricing_summary" -> "q01",
+    // "flight_q1_airline_counts" -> "fq1"; the full mapping is the
+    // sorted SparkEntry.queries key list.
+    def shortKey(name: String): String =
+      if (name.startsWith("flight_q")) "fq" + name.stripPrefix("flight_q").takeWhile(_.isDigit)
+      else name.takeWhile(_ != '_')
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
