@@ -82,8 +82,35 @@ object AdvancedQueries {
     // q54 — ANN scale path: IVF cell assignment + top-5 search over
     // each query's 2 nearest cells (nprobe=2 lifts recall at cell
     // boundaries; recall vs the brute-force q30 baseline is asserted
-    // in SimilaritySpec). Rows-only (approximate by design).
-    QueryDef.rowsOnly("q54_ann_ivf") { (s, dir) =>
+    // in SimilaritySpec). Approximate vs brute force, but fully
+    // DETERMINISTIC given the data (centroids are the k lowest-id
+    // vectors, every cosine is float32-cast before ranking) — so the
+    // whole index build + probe + search pipeline is oracle-expressible
+    // and hash-checked against DuckDB.
+    QueryDef.sql(
+      "q54_ann_ivf",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cid AS cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${SimilarityQueries.cosSql("e.embedding", "c.cv")} DESC, c.cid) AS arn
+         |    FROM embeddings e CROSS JOIN c) WHERE arn = 1),
+         |p AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT q.qid, c.cid AS cell, ROW_NUMBER() OVER (PARTITION BY q.qid
+         |      ORDER BY ${SimilarityQueries.cosSql("q.qv", "c.cv")} DESC, c.cid) AS prn
+         |    FROM q CROSS JOIN c) WHERE prn <= 2),
+         |s AS (
+         |  SELECT p.qid, a.vec_id AS nid,
+         |    ${SimilarityQueries.cosSql("q2.qv", "e2.embedding")} AS cos
+         |  FROM p JOIN asg a USING (cell)
+         |  JOIN embeddings e2 ON e2.vec_id = a.vec_id
+         |  JOIN q q2 ON q2.qid = p.qid
+         |  WHERE p.qid <> a.vec_id)
+         |SELECT qid, nid, cos, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir).embeddings
       val assigned = SimilarityOps.ivfAssign(e, 16)
       val queries = e.filter(col("vec_id") % 100 === 0)
@@ -94,18 +121,44 @@ object AdvancedQueries {
 
     // ------------------------------------------------------------------
     // q60 — multimodal featurize end-to-end: corpus wrapped as opaque
-    // media rows, partition-local decode stub → fixed-size feature
-    // vectors, aggregated per byte-length bucket. Rows-only (the
-    // decode stub is engine-internal); the plumbing contracts are
-    // specced in MultimodalSpec.
-    QueryDef.rowsOnly("q60_multimodal_features") { (s, dir) =>
+    // media rows (payload = UTF-8 bytes), partition-local decode stub
+    // → fixed-size feature vectors, aggregated per byte-length bucket.
+    // The stub is deterministic byte arithmetic (feature 1 = mean of
+    // the first octile's bytes, float32 division), so the oracle
+    // re-derives it in SQL by hex-decoding the payload — the hash
+    // check covers the whole binary-column path: encode → partition-
+    // local decode → feature extraction → aggregation. Aggregates are
+    // float-deterministic (min/max, integer sums — no double
+    // accumulation ordering).
+    QueryDef.sql(
+      "q60_multimodal_features",
+      """WITH d AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |    hex(encode(text)) AS h,
+        |    GREATEST(1, CAST(octet_length(encode(text)) AS INTEGER) // 8) AS chunk
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, byte_len,
+        |    CASE WHEN byte_len = 0 THEN CAST(0 AS REAL) ELSE
+        |      CAST(CAST(list_sum(list_transform(range(1, chunk + 1), i ->
+        |        16 * (strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1)
+        |           + (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1))) AS REAL)
+        |        / CAST(chunk AS REAL) AS REAL) END AS f1
+        |  FROM d)
+        |SELECT CAST(FLOOR(byte_len/100.0) AS INTEGER) AS len_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(f1) AS min_f1, MAX(f1) AS max_f1,
+        |  CAST(SUM(byte_len) AS BIGINT) AS sum_bytes
+        |FROM f GROUP BY len_bucket ORDER BY len_bucket""".stripMargin) { (s, dir) =>
       val media = graft.multimodal.MultimodalOps.asMedia(Tables(s, dir).documents)
       val feats = graft.multimodal.MultimodalOps.featurize(s, media)
       feats.toDF()
-        .groupBy((col("byte_len") / 100).cast("int").as("len_bucket"))
+        .groupBy(floor(col("byte_len") / 100).cast("int").as("len_bucket"))
         .agg(
           count(lit(1)).as("n"),
-          avg(element_at(col("features"), 1)).as("avg_f1"))
+          min(element_at(col("features"), 1)).as("min_f1"),
+          max(element_at(col("features"), 1)).as("max_f1"),
+          sum(col("byte_len")).as("sum_bytes"))
         .orderBy(col("len_bucket"))
     },
 
@@ -113,9 +166,32 @@ object AdvancedQueries {
     // q61 — embedding near-dup at scale: random-hyperplane LSH buckets
     // → intra-bucket cosine verification (≥ 0.35, the corpus' top
     // tail). The O(n²) form is q31; this is its bucketed scale path.
-    // Rows-only (bucket boundaries are engine-internal); recall vs the
-    // exhaustive pairs is asserted in SimilaritySpec.
-    QueryDef.rowsOnly("q61_embedding_neardup_lsh") { (s, dir) =>
+    // The hyperplanes are fixed floats (no RNG), so the oracle embeds
+    // the exact same 8×64 float32 constants as REAL[] literals and
+    // reproduces bucket assignment AND verification bit-for-bit —
+    // the hash check pins that bucketing changed candidate generation
+    // only, never pair semantics. Recall vs the exhaustive q31 pairs
+    // is asserted in SimilaritySpec.
+    QueryDef.sql(
+      "q61_embedding_neardup_lsh", {
+        val planes = (0 until 8).map { j =>
+          val arr = SimilarityOps.hyperplane(j).mkString("[", ",", "]")
+          s"($j, CAST($arr AS REAL[]))"
+        }.mkString(",\n  ")
+        s"""WITH planes(j, p) AS (VALUES
+           |  $planes),
+           |b AS (
+           |  SELECT e.vec_id,
+           |    CAST(SUM(CASE WHEN ${SimilarityQueries.dotSql("e.embedding", "pl.p")} > 0
+           |      THEN CAST(1 AS BIGINT) << pl.j ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bkt
+           |  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id),
+           |s AS (SELECT b.vec_id, b.bkt, e.embedding FROM b JOIN embeddings e USING (vec_id))
+           |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           |  ${SimilarityQueries.cosSql("a.embedding", "c.embedding")} AS cos
+           |FROM s a JOIN s c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+           |WHERE ${SimilarityQueries.cosSql("a.embedding", "c.embedding")} >= 0.35
+           |ORDER BY id_a, id_b""".stripMargin
+      }) { (s, dir) =>
       SimilarityOps.lshNearDupPairs(Tables(s, dir).embeddings, bits = 8, minCos = 0.35)
         .orderBy(col("id_a"), col("id_b"))
     },

@@ -2,9 +2,10 @@ package graft.operators
 
 import graft.functions.Float32Dot
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.FloatType
 
 /** Approximate-nearest-neighbor scale paths over an embedding column.
   * The oracle-checked brute-force baseline lives in
@@ -34,10 +35,21 @@ object SimilarityOps {
     * shuffle of the big side beyond the final groupBy), and search
     * becomes an equi-join on `cell`.
     */
+  /** Float32 cosine from precomputed squared norms: one dot per pair
+    * instead of three, and the final FLOAT cast makes ranking
+    * identical across engines (1-ulp double differences cannot flip a
+    * rank — the same contract the oracled q30/q31 use).
+    */
+  private def cosF(av: Column, bv: Column, ansq: Column, bnsq: Column): Column =
+    (dot(av, bv) / sqrt(ansq * bnsq)).cast(FloatType)
+
   def ivfAssign(embeddings: DataFrame, k: Int): DataFrame = {
+    val e = embeddings.withColumn("nsq", normSq(col("embedding")))
+    val c = ivfCentroids(embeddings, k)
+      .withColumn("cnsq", normSq(col("cv")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
-    embeddings.crossJoin(broadcast(ivfCentroids(embeddings, k)))
-      .withColumn("sim", cosine(col("embedding"), col("cv")))
+    e.crossJoin(broadcast(c))
+      .withColumn("sim", cosF(col("embedding"), col("cv"), col("nsq"), col("cnsq")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
@@ -58,17 +70,21 @@ object SimilarityOps {
       centroids: DataFrame,
       nprobe: Int = 1): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qnsq", normSq(col("qv")))
+    val c = centroids.withColumn("cnsq", normSq(col("cv")))
     val pw = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("qv"), col("cv")))
+    val probes = q.crossJoin(broadcast(c))
+      .withColumn("csim", cosF(col("qv"), col("cv"), col("qnsq"), col("cnsq")))
       .withColumn("prn", row_number().over(pw))
       .filter(col("prn") <= nprobe)
-      .select(col("qid"), col("qv"), col("cid").as("cell"))
-    val cands = assigned.select(col("cell"), col("vec_id").as("nid"), col("embedding").as("nv"))
+      .select(col("qid"), col("qv"), col("qnsq"), col("cid").as("cell"))
+    val cands = assigned
+      .select(col("cell"), col("vec_id").as("nid"), col("embedding").as("nv"))
+      .withColumn("nnsq", normSq(col("nv")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     probes.join(cands, "cell")
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("cos", cosF(col("qv"), col("nv"), col("qnsq"), col("nnsq")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topK)
       .select(col("qid"), col("nid"), col("cos"), col("rn"))
@@ -86,28 +102,38 @@ object SimilarityOps {
     */
   private val Dim = 64
 
+  /** Hyperplane h_j: components cos(i*(j+1)+j) over coordinates i —
+    * fixed, dense, no RNG, reproducible across runs AND engines (the
+    * q61 oracle embeds these exact float32 values as SQL literals).
+    */
+  def hyperplane(j: Int): Array[Float] =
+    Array.tabulate(Dim)(i => math.cos(i.toDouble * (j + 1) + j).toFloat)
+
   def lshSignature(embeddings: DataFrame, bits: Int): DataFrame = {
-    // hyperplane h_j has components cos(i * (j+1) + j) over coordinates
-    // i — fixed, dense, no RNG. Materialized once as array<float>
-    // literals so each projection is ONE codegen'd Float32Dot over the
-    // row (the interpreted aggregate(zip_with(...)) form of the same
-    // sum measured ~100× slower per row — see VectorFunctions.dotHof).
-    def plane(j: Int): Array[Float] =
-      Array.tabulate(Dim)(i => math.cos(i.toDouble * (j + 1) + j).toFloat)
-    def proj(j: Int) = Float32Dot(col("embedding"), typedlit(plane(j)))
+    // Hyperplanes materialized once as array<float> literals so each
+    // projection is ONE codegen'd Float32Dot over the row (the
+    // interpreted aggregate(zip_with(...)) form of the same sum
+    // measured ~100× slower per row — see VectorFunctions.dotHof).
+    def proj(j: Int) = Float32Dot(col("embedding"), typedlit(hyperplane(j)))
     val sig = (0 until bits)
       .map(j => when(proj(j) > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     embeddings.withColumn("lsh_bucket", sig)
   }
 
-  /** Intra-bucket candidate pairs with verified cosine ≥ `minCos`. */
+  /** Intra-bucket candidate pairs with verified float32 cosine ≥
+    * `minCos` (norms computed once per vector; same arithmetic as the
+    * oracled q31 baseline).
+    */
   def lshNearDupPairs(embeddings: DataFrame, bits: Int, minCos: Double): DataFrame = {
     val sig = lshSignature(embeddings, bits)
-    val a = sig.select(col("lsh_bucket"), col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = sig.select(col("lsh_bucket"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+      .withColumn("nsq", normSq(col("embedding")))
+    val a = sig.select(col("lsh_bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("nsq").as("ansq"))
+    val b = sig.select(col("lsh_bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("nsq").as("bnsq"))
     a.join(b, Seq("lsh_bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", cosF(col("va"), col("vb"), col("ansq"), col("bnsq")))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

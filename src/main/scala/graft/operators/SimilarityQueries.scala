@@ -21,10 +21,15 @@ object SimilarityQueries {
 
   private val dim = 64
 
-  private def dotSql(a: String, b: String): String =
+  /** DuckDB mirror of [[graft.functions.Float32Dot]]: per-element
+    * float32 product (REAL×REAL) widened to DOUBLE, summed
+    * left-to-right. Shared with the ANN scale-path oracles
+    * ([[AdvancedQueries]] q54/q61).
+    */
+  private[operators] def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1,${dim + 1}), i -> CAST($a[i]*$b[i] AS DOUBLE)))"
 
-  private def cosSql(a: String, b: String): String =
+  private[operators] def cosSql(a: String, b: String): String =
     s"CAST(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}) AS REAL)"
 
   val all: Seq[QueryDef] = Seq(

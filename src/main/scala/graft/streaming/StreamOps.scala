@@ -113,9 +113,13 @@ object StreamOps {
       window_ : String = "1 minute",
       watermark: String = "2 minutes"): DataFrame = {
     import graft.functions.VectorFunctions
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    // float32-cast before ranking — the identical cross-engine bit-
+    // stability contract the batch ivfSearch/q30 path uses, so stream
+    // and batch probe choices and ranks agree exactly
     val scored = centroids.map { case (cid, cv) =>
       struct(
-        (-VectorFunctions.cosine(col("embedding"), typedlit(cv))).as("neg"),
+        (-VectorFunctions.cosine(col("embedding"), typedlit(cv)).cast(FloatType)).as("neg"),
         lit(cid).as("cid"))
     }
     val probes = queries
@@ -130,7 +134,10 @@ object StreamOps {
       org.apache.spark.sql.Encoders.product[(Long, Double)])
     probes.join(cands, "cell")
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cos", VectorFunctions.cosine(col("qv"), col("nv")))
+      // float32 rounding first (ranking parity with batch), exact
+      // widen back to double for the (Long, Double) UDAF encoder
+      .withColumn("cos",
+        VectorFunctions.cosine(col("qv"), col("nv")).cast(FloatType).cast(DoubleType))
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_).as("win"), col("qid"))
       .agg(topk(col("nid"), col("cos")).as("neighbors"))

@@ -49,7 +49,7 @@ class SimilaritySpec extends AnyFunSuite {
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
     byQ.values.foreach { rs =>
       assert(rs.length <= 3)
-      val sims = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("cos"))
+      val sims = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Float]("cos"))
       assert(sims.sameElements(sims.sortBy(-_)))
     }
   }
@@ -90,7 +90,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sig1.except(sig2).count() == 0) // deterministic, no RNG
 
     val pairs = SimilarityOps.lshNearDupPairs(emb, bits = 4, minCos = 0.2).collect()
-    assert(pairs.forall(_.getAs[Double]("cos") >= 0.2))
+    assert(pairs.forall(_.getAs[Float]("cos") >= 0.2f))
     // candidates only from shared buckets → strictly fewer than all-pairs
     assert(pairs.length < 500 * 499 / 2)
   }

@@ -192,7 +192,7 @@ class StreamOpsSpec extends AnyFunSuite {
         .groupBy(_.getAs[Long]("qid"))
         .map { case (qid, rs) =>
           qid -> rs.sortBy(_.getAs[Int]("rn"))
-            .map(r => (r.getAs[Long]("nid"), r.getAs[Double]("cos"))).toSeq
+            .map(r => (r.getAs[Long]("nid"), r.getAs[Float]("cos").toDouble)).toSeq
         }
       assert(batch.nonEmpty)
       assert(streamed == batch,
