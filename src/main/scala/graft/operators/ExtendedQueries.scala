@@ -171,6 +171,110 @@ object ExtendedQueries {
         .groupBy(col("l_returnflag"))
         .agg((dbl(sum(dec2(col("l_extendedprice")))) / count(lit(1))).as("median_price"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // ------------------------------------------------------------------
+    // q80 — SCD2 dimension-history build: collapse a fact stream into
+    // slowly-changing-dimension rows. Per customer, each distinct
+    // order date opens a version: [effective_from, effective_to) via
+    // lead(), cumulative orders/spend to date (decimal-exact running
+    // sums, cast to double at the end), is_current on the open row.
+    // This is the standard incremental-pipeline merge shape (the
+    // MERGE-free expression of it: history rebuild is a window over
+    // the key, no driver loop, one shuffle on the dimension key).
+    QueryDef.sql(
+      "q80_scd2_intervals",
+      """WITH daily AS (
+        |  SELECT o_custkey, o_orderdate,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT o_custkey, o_orderdate AS effective_from,
+        |  COALESCE(lead(o_orderdate) OVER w, DATE '9999-12-31') AS effective_to,
+        |  CAST(SUM(n_orders) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS orders_to_date,
+        |  CAST(SUM(spend) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS spend_to_date,
+        |  CAST(CASE WHEN lead(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+        |FROM daily
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+        |ORDER BY o_custkey, effective_from""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // one shuffle total: hash-partitioning on o_custkey alone
+      // satisfies the (o_custkey, o_orderdate) groupBy clustering AND
+      // the window's partitioning, so the daily rollup and the
+      // history windows all run inside the same exchange
+      val daily = Tables(s, dir).orders
+        .repartition(col("o_custkey"))
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.select(
+        col("o_custkey"),
+        col("o_orderdate").as("effective_from"),
+        // open rows carry the standard SCD2 high-date sentinel (also
+        // keeps the output null-free for stable cross-engine hashing)
+        coalesce(lead(col("o_orderdate"), 1).over(w),
+          lit("9999-12-31").cast(DateType)).as("effective_to"),
+        sum(col("n_orders")).over(cum).as("orders_to_date"),
+        dbl(sum(col("spend")).over(cum)).as("spend_to_date"),
+        lead(col("o_orderdate"), 1).over(w).isNull.cast(IntegerType).as("is_current"))
+        .orderBy(col("o_custkey"), col("effective_from"))
+    },
+
+    // ------------------------------------------------------------------
+    // q81 — one-pass column profiler: the data-quality primitive a
+    // pipeline runs before training (null counts, cardinality,
+    // min/max) for a set of columns in a SINGLE scan — the per-column
+    // stats come out of one aggregate and unpivot via stack(), not one
+    // scan per column. Stringly min/max only for types whose string
+    // form is engine-identical (ints, dates, strings — no doubles).
+    QueryDef.sql(
+      "q81_profile_columns",
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS column_name,
+        |    CAST(COUNT(*) - COUNT(l_orderkey) AS BIGINT) AS n_nulls,
+        |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        |    CAST(MIN(l_orderkey) AS VARCHAR) AS min_s,
+        |    CAST(MAX(l_orderkey) AS VARCHAR) AS max_s
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag',
+        |    CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+        |    CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+        |    MIN(l_returnflag), MAX(l_returnflag)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate',
+        |    CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT),
+        |    CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+        |    CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR)
+        |  FROM lineitem)
+        |ORDER BY column_name""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+      val a = li.agg(
+        count(lit(1)).as("n"),
+        count(col("l_orderkey")).as("nn_ok"),
+        countDistinct(col("l_orderkey")).as("nd_ok"),
+        min(col("l_orderkey")).cast(StringType).as("min_ok"),
+        max(col("l_orderkey")).cast(StringType).as("max_ok"),
+        count(col("l_returnflag")).as("nn_rf"),
+        countDistinct(col("l_returnflag")).as("nd_rf"),
+        min(col("l_returnflag")).as("min_rf"),
+        max(col("l_returnflag")).as("max_rf"),
+        count(col("l_shipdate")).as("nn_sd"),
+        countDistinct(col("l_shipdate")).as("nd_sd"),
+        min(col("l_shipdate")).cast(StringType).as("min_sd"),
+        max(col("l_shipdate")).cast(StringType).as("max_sd"))
+      a.select(expr(
+        """stack(3,
+          |  'l_orderkey',  n - nn_ok, nd_ok, min_ok, max_ok,
+          |  'l_returnflag', n - nn_rf, nd_rf, min_rf, max_rf,
+          |  'l_shipdate',  n - nn_sd, nd_sd, min_sd, max_sd)
+          |AS (column_name, n_nulls, n_distinct, min_s, max_s)""".stripMargin))
+        .orderBy(col("column_name"))
     }
   )
 }

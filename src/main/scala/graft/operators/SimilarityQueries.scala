@@ -82,6 +82,56 @@ object SimilarityQueries {
             .cast(FloatType).as("cos"))
         .filter(col("cos") >= 0.35)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ------------------------------------------------------------------
+    // q79 — one k-means refinement step: assign every vector to its
+    // nearest centroid (the q54 IVF assignment), then recompute each
+    // centroid as the per-dimension mean of its members. The mean is
+    // order-deterministic: member values are collected per (cell, dim)
+    // sorted by vec_id and summed left-to-right in double (the same
+    // contract DuckDB's ordered list(...) + list_sum has), one final
+    // division, float32 cast. This is the "train the IVF model"
+    // iteration [[SimilarityOps.ivfCentroids]] stands in for.
+    //
+    // Scale: assignment is a broadcast cross join against k centroids;
+    // the update aggregates (cell, dim) groups — k×dim cells, each a
+    // bounded list. At real scale the ordered-collect becomes a
+    // two-phase decimal/Kahan mergeable aggregate; the demo working
+    // set is capped at vec_id < 5000 (flat cost across SF) so the
+    // ordered form stays cheap — the PLAN (broadcast assign +
+    // map-side-combinable update) is the 100 TB shape.
+    QueryDef.sql(
+      "q79_kmeans_step", {
+        val k = 8
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5000),
+           |cen AS (SELECT vec_id AS cid, embedding AS cv FROM e WHERE vec_id < $k),
+           |asg AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, cen.cid AS cell, ROW_NUMBER() OVER (
+           |      PARTITION BY e.vec_id
+           |      ORDER BY ${cosSql("e.embedding", "cen.cv")} DESC, cen.cid) AS rn
+           |    FROM e CROSS JOIN cen) WHERE rn = 1),
+           |x AS (
+           |  SELECT cell, vec_id, CAST(i - 1 AS INTEGER) AS dim, embedding[i] AS v
+           |  FROM asg CROSS JOIN (SELECT unnest(range(1, $dim + 1)) AS i)),
+           |g AS (SELECT cell, dim, list(v ORDER BY vec_id) AS vals FROM x GROUP BY cell, dim)
+           |SELECT cell, dim, CAST(len(vals) AS INTEGER) AS n,
+           |  CAST(list_sum(list_transform(vals, y -> CAST(y AS DOUBLE))) / len(vals) AS REAL) AS c
+           |FROM g ORDER BY cell, dim""".stripMargin
+      }) { (s, dir) =>
+      val e = Tables(s, dir).embeddings.filter(col("vec_id") < 5000)
+      val assigned = SimilarityOps.ivfAssign(e, 8)
+      assigned
+        .select(col("cell"), col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("vals"))
+        .select(col("cell"), col("dim"),
+          size(col("vals")).as("n"),
+          (aggregate(col("vals"), lit(0.0),
+            (acc, x) => acc + x.getField("v").cast("double")) / size(col("vals")))
+            .cast(FloatType).as("c"))
+        .orderBy(col("cell"), col("dim"))
     }
   )
 }

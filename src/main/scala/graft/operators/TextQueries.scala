@@ -3,8 +3,9 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
 import graft.functions.{CharNgramsDistinct, WordShingles}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{BinaryType, DoubleType, FloatType, IntegerType}
 
 /** Text-analysis + deduplication operators over `documents` — the
   * training-data-pipeline surface: token/quality stats, heuristic
@@ -488,6 +489,88 @@ object TextQueries {
           sub.as("n_subwords"),
           (sub.cast("double") / size(tokens(col("text")))).as("fertility"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q77 — cluster retention: the step that turns near-dup CLUSTERS
+    // into a kept corpus. Pairs (q29 shape) → connected components
+    // (q69 shape) → keep exactly one doc per cluster, the highest
+    // quality score (doc_id tiebreak); singletons keep themselves.
+    // This is the full dedup pipeline end-to-end — pair generation,
+    // transitive closure, retention policy — hash-checked as one
+    // result. Scale: pairs/components as audited in q29/q69; the
+    // retention window partitions by component (bounded groups).
+    QueryDef.sql(
+      "q77_cluster_retention",
+      s"""WITH RECURSIVE pairs AS ($jaccardPairsSql),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, label) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+         |  UNION
+         |  SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node),
+         |comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+         |scored AS (SELECT doc_id,
+         |  (CAST(least(len(string_split(text,' ')), 100) AS DOUBLE) / 100)
+         |    * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+         |       / len(string_split(text,' '))) AS quality
+         |FROM documents),
+         |wc AS (SELECT s.doc_id, COALESCE(c.component, s.doc_id) AS component, s.quality
+         |       FROM scored s LEFT JOIN comp c ON c.node = s.doc_id)
+         |SELECT doc_id, component, quality,
+         |  CAST(CASE WHEN ROW_NUMBER() OVER (
+         |    PARTITION BY component ORDER BY quality DESC, doc_id) = 1
+         |    THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM wc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val edges = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val comp = ConnectedComponents.run(edges)
+      val scored = Tables(s, dir).documentsSpread
+        .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      scored.join(comp, scored("doc_id") === comp("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("component"), col("quality"))
+        .withColumn("keep", (row_number().over(w) === 1).cast(IntegerType))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q78 — TF-IDF top terms per document: the classic retrieval /
+    // corpus-statistics operator. tf and df are exact integer counts;
+    // idf = ln(N/df) happens once per TOKEN (not per posting), and the
+    // final score is float32-cast before ranking so a 1-ulp libm
+    // difference between engines cannot flip a rank. Scale: tf and df
+    // are map-side-combinable aggregations of one token explosion; the
+    // df side is vocabulary-sized (≪ corpus) so its join back
+    // broadcasts; N is a scalar broadcast cross join, never a collect.
+    QueryDef.sql(
+      "q78_tfidf_topk",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token,
+        |    CAST(tf * ln(CAST(n_docs AS DOUBLE) / df) AS REAL) AS tfidf
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id, CAST(rk AS INTEGER) AS rk, token, tfidf FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk FROM scored)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documentsSpread
+      val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val df = tok.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(broadcast(df), "token").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"),
+          (col("tf") * log(col("n_docs").cast(DoubleType) / col("df")))
+            .cast(FloatType).as("tfidf"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("token"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
     }
   )
 }

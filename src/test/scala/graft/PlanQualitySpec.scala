@@ -104,6 +104,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian fallback:\n${p.take(1500)}")
   }
 
+  test("q78: vocabulary and corpus-size sides broadcast — the postings side never re-shuffles for them") {
+    val p = plan("q78_tfidf_topk")
+    assert(p.contains("BroadcastHashJoin"), s"df join not broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"), s"vocabulary join fell back to SMJ:\n${p.take(1500)}")
+  }
+
+  test("q80: SCD2 history build runs in ONE shuffle (custkey partitioning reused by rollup and windows)") {
+    val p = plan("q80_scd2_intervals")
+    // exactly one hash exchange (the custkey repartition); the only
+    // other exchange is the final rangepartitioning for the global
+    // ORDER BY — the oracle-hash determinism contract, dropped on a
+    // cluster along with the contract
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n${p.take(2000)}")
+  }
+
   test("no query plan contains a collect-driven loop (Exchange-only shuffles)") {
     // structural smoke over every registered query at tiny SF: the plan
     // tree must build lazily without driver-side actions

@@ -42,8 +42,13 @@ for name in sorted(oracle):
     ev, gv = exp.values.tolist(), got.values.tolist()
     for i, (ra, rb) in enumerate(zip(ev, gv)):
         for j, (a, b) in enumerate(zip(ra, rb)):
-            same = (a == b) or (isinstance(a, float) and isinstance(b, float)
-                                and math.isnan(a) and math.isnan(b))
+            try:
+                both_na = bool(pd.isna(a)) and bool(pd.isna(b))
+            except (TypeError, ValueError):
+                both_na = False
+            same = both_na or (a == b) or (
+                isinstance(a, float) and isinstance(b, float)
+                and math.isnan(a) and math.isnan(b))
             if not same:
                 bad = (i, exp.columns[j], a, b)
                 break
