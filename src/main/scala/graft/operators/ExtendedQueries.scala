@@ -225,12 +225,16 @@ object ExtendedQueries {
     },
 
     // ------------------------------------------------------------------
-    // q81 — one-pass column profiler: the data-quality primitive a
-    // pipeline runs before training (null counts, cardinality,
-    // min/max) for a set of columns in a SINGLE scan — the per-column
-    // stats come out of one aggregate and unpivot via stack(), not one
-    // scan per column. Stringly min/max only for types whose string
-    // form is engine-identical (ints, dates, strings — no doubles).
+    // q81 — column profiler: the data-quality primitive a pipeline
+    // runs before training (null counts, cardinality, min/max). One
+    // pruned single-column scan + expand-free two-phase distinct
+    // aggregate per column, unioned — measured 3× faster than the
+    // single-scan stack() form, whose 3 distinct aggs in one
+    // aggregate Expand every input row 4× before the shuffle (same
+    // lesson as q43; the scans are columnar so "three scans" read no
+    // more bytes than one 3-column scan). Stringly min/max only for
+    // types whose string form is engine-identical (ints, dates,
+    // strings — no doubles).
     QueryDef.sql(
       "q81_profile_columns",
       """SELECT * FROM (
@@ -254,26 +258,17 @@ object ExtendedQueries {
         |  FROM lineitem)
         |ORDER BY column_name""".stripMargin) { (s, dir) =>
       val li = Tables(s, dir).lineitem
-      val a = li.agg(
-        count(lit(1)).as("n"),
-        count(col("l_orderkey")).as("nn_ok"),
-        countDistinct(col("l_orderkey")).as("nd_ok"),
-        min(col("l_orderkey")).cast(StringType).as("min_ok"),
-        max(col("l_orderkey")).cast(StringType).as("max_ok"),
-        count(col("l_returnflag")).as("nn_rf"),
-        countDistinct(col("l_returnflag")).as("nd_rf"),
-        min(col("l_returnflag")).as("min_rf"),
-        max(col("l_returnflag")).as("max_rf"),
-        count(col("l_shipdate")).as("nn_sd"),
-        countDistinct(col("l_shipdate")).as("nd_sd"),
-        min(col("l_shipdate")).cast(StringType).as("min_sd"),
-        max(col("l_shipdate")).cast(StringType).as("max_sd"))
-      a.select(expr(
-        """stack(3,
-          |  'l_orderkey',  n - nn_ok, nd_ok, min_ok, max_ok,
-          |  'l_returnflag', n - nn_rf, nd_rf, min_rf, max_rf,
-          |  'l_shipdate',  n - nn_sd, nd_sd, min_sd, max_sd)
-          |AS (column_name, n_nulls, n_distinct, min_s, max_s)""".stripMargin))
+      def profile(c: String) =
+        li.select(col(c)).agg(
+          (count(lit(1)) - count(col(c))).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast(StringType).as("min_s"),
+          max(col(c)).cast(StringType).as("max_s"))
+          .select(lit(c).as("column_name"), col("n_nulls"), col("n_distinct"),
+            col("min_s"), col("max_s"))
+      profile("l_orderkey")
+        .unionByName(profile("l_returnflag"))
+        .unionByName(profile("l_shipdate"))
         .orderBy(col("column_name"))
     }
   )
