@@ -79,11 +79,14 @@ object MultimodalOps {
 
   /** "Frame sampling": `n` evenly-spaced fixed-width byte slices of
     * the payload (the video-keyframe access pattern), as a pure
-    * column expression over binary.
+    * column expression over binary. Positions are explicit integer
+    * arithmetic (floor division) so the q82 oracle mirrors them
+    * exactly.
     */
   def frameSample(payload: org.apache.spark.sql.Column, n: Int, width: Int): org.apache.spark.sql.Column =
     transform(sequence(lit(0), lit(n - 1)), i => {
-      val pos = (i * greatest(length(payload) - width, lit(1))) / n + 1
+      val pos = floor((i * greatest(length(payload) - width, lit(1))) / n)
+        .cast("int") + 1
       payload.substr(pos, lit(width))
     })
 

@@ -197,6 +197,33 @@ object AdvancedQueries {
     },
 
     // ------------------------------------------------------------------
+    // q82 — frame sampling over binary payloads: n evenly-spaced
+    // fixed-width byte slices (the video-keyframe access pattern),
+    // fingerprinted per frame. The oracle re-derives each slice from
+    // the hex encoding of the same payload (byte slice ≡ aligned hex
+    // substring), so slice positions, widths, and content are all
+    // hash-checked. Pure projection + generator — no shuffle of the
+    // payload; the explode emits fixed-width frames, not the blob.
+    QueryDef.sql(
+      "q82_frame_sample",
+      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS blen FROM documents),
+        |f AS (
+        |  SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+        |    substr(h, 2 * ((i * greatest(blen - 16, 1)) // 4) + 1, 32) AS fh
+        |  FROM m CROSS JOIN (SELECT unnest(range(0, 4)) AS i))
+        |SELECT media_id, frame_idx, md5(fh) AS frame_md5
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+      val media = graft.multimodal.MultimodalOps.asMedia(Tables(s, dir).documents)
+      media.select(col("media_id"),
+        posexplode(graft.multimodal.MultimodalOps.frameSample(col("payload"), 4, 16))
+          .as(Seq("frame_idx", "frame")))
+        .select(col("media_id"), col("frame_idx"),
+          md5(hex(col("frame")).cast(org.apache.spark.sql.types.BinaryType)).as("frame_md5"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+
+    // ------------------------------------------------------------------
     // q33 — the salted skew join, driver-checked for semantic
     // transparency: l_linenumber has ~7 values (each ~1/7 of the fact
     // table — the classic straggler key), the dim side is replicated
