@@ -523,15 +523,9 @@ object TextQueries {
          |    THEN 1 ELSE 0 END AS INTEGER) AS keep
          |FROM wc ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val edges = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
-      val comp = ConnectedComponents.run(edges)
       val scored = Tables(s, dir).documentsSpread
         .select(col("doc_id"), qualityScore(col("text")).as("quality"))
-      val w = Window.partitionBy(col("component"))
-        .orderBy(col("quality").desc, col("doc_id"))
-      scored.join(comp, scored("doc_id") === comp("node"), "left")
-        .select(col("doc_id"),
-          coalesce(col("label"), col("doc_id")).as("component"), col("quality"))
-        .withColumn("keep", (row_number().over(w) === 1).cast(IntegerType))
+      Retention.retainBest(edges, scored, "doc_id", "quality")
         .orderBy(col("doc_id"))
     },
 
