@@ -329,6 +329,103 @@ object AnalyticsQueries {
         regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
         regexp_replace(col("p_type"), "[AEIOU]", "").as("type_novowel"))
         .orderBy(col("p_partkey"))
+    },
+
+    // ------------------------------------------------------------------
+    // q83 — FULL OUTER join of two aggregates: nations by customer
+    // count vs supplier count; nations present on only one side
+    // surface with a zero on the other (the reconciliation-report
+    // shape inner joins silently drop — SURVEY §2.4 notes the
+    // reference's J4 exclusions). COALESCE before ORDER BY keeps
+    // null-ordering semantics out of the hash.
+    QueryDef.sql(
+      "q83_full_outer_join",
+      """WITH c AS (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+        |           FROM customer GROUP BY c_nationkey),
+        |s AS (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+        |      FROM supplier GROUP BY s_nationkey)
+        |SELECT COALESCE(c.nk, s.nk) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp,
+        |  COALESCE(n_cust, 0) - COALESCE(n_supp, 0) AS diff
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      val c = t.customer.groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sup = t.supplier.groupBy(col("s_nationkey").as("snk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sup, col("nk") === col("snk"), "full_outer")
+        .select(
+          coalesce(col("nk"), col("snk")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+          (coalesce(col("n_cust"), lit(0L)) - coalesce(col("n_supp"), lit(0L))).as("diff"))
+        .orderBy(col("nationkey"))
+    },
+
+    // ------------------------------------------------------------------
+    // q84 — exact interpolated percentiles (p25/p50/p75/p95) per
+    // group: Spark's exact `percentile` vs DuckDB's `quantile_cont`,
+    // both linear interpolation at (n-1)·p; the REAL cast absorbs any
+    // last-ulp difference in interpolation arithmetic. At 100 TB the
+    // same API slot takes percentile_approx (mergeable sketch) — the
+    // exact form is the oracle-able ground truth (cf. q41 median).
+    QueryDef.sql(
+      "q84_percentiles",
+      """SELECT l_returnflag,
+        |  CAST(quantile_cont(l_extendedprice, 0.25) AS REAL) AS p25,
+        |  CAST(quantile_cont(l_extendedprice, 0.50) AS REAL) AS p50,
+        |  CAST(quantile_cont(l_extendedprice, 0.75) AS REAL) AS p75,
+        |  CAST(quantile_cont(l_extendedprice, 0.95) AS REAL) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+      def p(q: Double, name: String) =
+        percentile(col("l_extendedprice"), lit(q)).cast("float").as(name)
+      li.groupBy(col("l_returnflag"))
+        .agg(p(0.25, "p25"), p(0.50, "p50"), p(0.75, "p75"), p(0.95, "p95"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ------------------------------------------------------------------
+    // q85 — correlation via exact decimal moments: corr(quantity,
+    // price) per returnflag from n, Σx, Σy, Σxy, Σx², Σy² accumulated
+    // as exact decimals (order-free), combined in ONE fixed-order
+    // double expression. The standard corr() aggregate sums doubles in
+    // partition order — non-deterministic across engines AND runs; the
+    // moment form is the deterministic-by-construction equivalent
+    // (same pattern as q37's stddev).
+    QueryDef.sql(
+      "q85_corr_moments",
+      """WITH m AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  CAST(n AS BIGINT) AS n,
+        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val x = col("l_quantity").cast(DecimalType(12, 2))
+      val y = col("l_extendedprice").cast(DecimalType(18, 2))
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          sum(x).cast(DoubleType).as("sx"),
+          sum(y).cast(DoubleType).as("sy"),
+          sum(x * y).cast(DoubleType).as("sxy"),
+          sum(x * x).cast(DoubleType).as("sxx"),
+          sum(y * y).cast(DoubleType).as("syy"))
+        .select(col("l_returnflag"),
+          col("n").cast("long").as("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }
