@@ -378,11 +378,33 @@ object AnalyticsQueries {
         |  CAST(quantile_cont(l_extendedprice, 0.75) AS REAL) AS p75,
         |  CAST(quantile_cont(l_extendedprice, 0.95) AS REAL) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      val li = Tables(s, dir).lineitem
-      def p(q: Double, name: String) =
-        percentile(col("l_extendedprice"), lit(q)).cast("float").as(name)
-      li.groupBy(col("l_returnflag"))
-        .agg(p(0.25, "p25"), p(0.50, "p50"), p(0.75, "p75"), p(0.95, "p95"))
+      // window-rank interpolation (the q41 median technique generalized
+      // to any p): rank values per group, keep only the ≤2 rows each
+      // percentile interpolates between, aggregate them back into
+      // lo + frac·(hi − lo). One sort shuffle on the group key — the
+      // built-in exact `percentile` buffers every value in an
+      // ObjectHashAggregate (measured 2.5× slower at sf0.1; same
+      // REAL-cast result).
+      val ps = Seq(0.25 -> "p25", 0.50 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      val ranked = Tables(s, dir).lineitem
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          row_number().over(w).as("rn"), count(lit(1)).over(wAll).as("n"))
+      def h(p: Double) = (col("n") - 1).cast(DoubleType) * lit(p)
+      val needed = ps.map { case (p, _) =>
+        col("rn") === floor(h(p)).cast("long") + 1 || col("rn") === ceil(h(p)).cast("long") + 1
+      }.reduce(_ || _)
+      def interp(p: Double, name: String) = {
+        val lo = min(when(col("rn") === floor(h(p)).cast("long") + 1, col("l_extendedprice")))
+        val hi = min(when(col("rn") === ceil(h(p)).cast("long") + 1, col("l_extendedprice")))
+        (lo + (max(h(p)) - floor(max(h(p)))) * (hi - lo)).cast("float").as(name)
+      }
+      ranked.filter(needed)
+        .groupBy(col("l_returnflag"))
+        .agg(interp(ps.head._1, ps.head._2),
+          ps.tail.map { case (p, nm) => interp(p, nm) }: _*)
         .orderBy(col("l_returnflag"))
     },
 
