@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharNgramsDistinct, Float32Dot, RollingHash64, WordShingles}
+import graft.functions.{CharNgramHashesSorted, CharNgramsDistinct, Float32Dot, RollingHash64, SortedLongIntersectCount, StopwordHits, WordShingles}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -49,6 +49,22 @@ object GraftExtensions {
     "rolling_hash64" -> { children =>
       require(children.size == 1, "rolling_hash64(text) takes exactly 1 argument")
       RollingHash64(children.head)
+    },
+    "stopword_hits" -> { children =>
+      require(children.size >= 2, "stopword_hits(text, word, ...) takes text plus >=1 word literals")
+      val words = children.tail.map {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, org.apache.spark.sql.types.StringType) => s.toString
+        case other => throw new IllegalArgumentException(s"stopword_hits: words must be string literals, got $other")
+      }
+      StopwordHits(children.head, words)
+    },
+    "char_ngram_hashes_sorted" -> { children =>
+      require(children.size == 2, "char_ngram_hashes_sorted(text, n) takes exactly 2 arguments")
+      CharNgramHashesSorted(children.head, intArg("char_ngram_hashes_sorted", children(1)))
+    },
+    "sorted_long_intersect_count" -> { children =>
+      require(children.size == 2, "sorted_long_intersect_count(a, b) takes exactly 2 arguments")
+      SortedLongIntersectCount(children.head, children(1))
     })
 
   /** Register on an already-running session (builder-time extensions

@@ -29,4 +29,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT float32_dot(array(1.0), array(2.0))").collect() // double arrays
     }
   }
+
+  test("every custom kernel is callable from SQL") {
+    val spark = TestSpark.spark
+    GraftExtensions.register(spark)
+    // text kernels
+    assert(spark.sql("SELECT size(char_ngrams_distinct('abcabc', 3)) AS n")
+      .head().getInt(0) == 3) // abc, bca, cab (later repeats collapse)
+    assert(spark.sql("SELECT size(word_shingles('a b c d', 2)) AS n")
+      .head().getInt(0) == 3)
+    assert(spark.sql("SELECT stopword_hits('the cat and the hat', 'the', 'and') AS n")
+      .head().getInt(0) == 3)
+    assert(spark.sql("SELECT rolling_hash64('abc') = rolling_hash64('abc') AS eq")
+      .head().getBoolean(0))
+    // array kernels: intersect of a text's gram hashes with itself = gram count
+    val r = spark.sql(
+      """SELECT sorted_long_intersect_count(
+        |  char_ngram_hashes_sorted('abcdef', 3),
+        |  char_ngram_hashes_sorted('abcdef', 3)) AS n,
+        |  size(char_ngram_hashes_sorted('abcdef', 3)) AS sz""".stripMargin).head()
+    assert(r.getInt(0) == r.getInt(1))
+  }
 }
