@@ -45,4 +45,40 @@ class RetentionSpec extends AnyFunSuite {
       == scored.count() - collapsed)
     out.unpersist(); pairs.unpersist()
   }
+
+  test("retainBest == union-find model on random graphs (components, keeper choice, tiebreaks)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 4) {
+      val n = 30 + rng.nextInt(40)
+      val ids = (0L until n).toSeq
+      val edges = Seq.fill(rng.nextInt(60))(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      // scores with deliberate ties to exercise the id tiebreak
+      val score = ids.map(i => i -> (rng.nextInt(5) / 4.0)).toMap
+
+      // independent model: union-find → min-id component, keeper =
+      // (max score, min id) per component
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // only nodes incident to an edge cluster; isolated nodes keep themselves
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val compOf = ids.map { i =>
+        i -> (if (touched(i)) ids.filter(j => touched(j) && find(j) == find(i)).min else i)
+      }.toMap
+      val expectedKeep = ids.groupBy(compOf)
+        .values.map(ms => ms.minBy(m => (-score(m), m))).toSet
+
+      val pairsDf = edges.toDF("a", "b")
+      val scoredDf = ids.map(i => (i, score(i))).toDF("id", "sc")
+      val out = Retention.retainBest(pairsDf, scoredDf, "id", "sc").collect()
+      val gotComp = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotKeep = out.filter(_.getInt(3) == 1).map(_.getLong(0)).toSet
+      assert(gotComp == compOf, s"components differ (n=$n, edges=${edges.size})")
+      assert(gotKeep == expectedKeep, s"keepers differ (n=$n, edges=${edges.size})")
+    }
+  }
 }
