@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Physical data-layout operators: range clustering and small-file
@@ -43,6 +43,38 @@ object DataLayout {
     df.repartitionByRange(numFiles, col(key))
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(path)
+
+  /** Z-order (Morton) clustering on two numeric keys: each key is
+    * bucketed into 256 equal-width bins between its min/max (one tiny
+    * broadcast agg — the bucketing itself is map-side), the two 8-bit
+    * bucket ids are bit-interleaved into a 16-bit z-value, and rows
+    * are range-partitioned + sorted on it. Every output file then
+    * covers a small RECTANGLE of the (k1, k2) space, so parquet
+    * min/max stats prune scans filtered on EITHER key or both —
+    * single-key range clustering can only serve its one key.
+    * `DataLayoutSpec` asserts the bounding-box shrinkage vs the
+    * unclustered layout.
+    */
+  def writeZOrdered(df: DataFrame, path: String, k1: String, k2: String, numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, floor, least, lit, max, min, shiftleft}
+    val bounds = df.agg(
+      min(col(k1)).cast("double").as("min1"), max(col(k1)).cast("double").as("max1"),
+      min(col(k2)).cast("double").as("min2"), max(col(k2)).cast("double").as("max2"))
+    def bucket(c: Column, lo: Column, hi: Column): Column =
+      least(floor((c.cast("double") - lo) / ((hi - lo + lit(1e-9)) / 256)).cast("int"), lit(255))
+    // spread the 8 bits of b to even positions: b7..b0 -> bit 2i
+    def spread(b: Column): Column =
+      (0 until 8).map(i => shiftleft(b.bitwiseAND(lit(1 << i)), i)).reduce(_ + _)
+    val z = df.crossJoin(broadcast(bounds))
+      .withColumn("__z",
+        spread(bucket(col(k1), col("min1"), col("max1"))) +
+          spread(bucket(col(k2), col("min2"), col("max2"))) * lit(2))
+      .drop("min1", "max1", "min2", "max2")
+    z.repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 
   /** Rewrite the parquet directory at `path` into files of roughly
     * `targetFileBytes` (computed from actual on-disk size — column

@@ -42,6 +42,33 @@ class DataLayoutSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"))
   }
 
+  test("writeZOrdered: per-file 2D bounding boxes shrink vs the unclustered layout") {
+    val base = Files.createTempDirectory("zorder").toString
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_partkey", "l_suppkey", "l_quantity")
+
+    def avgBoxArea(dir: String): Double = {
+      val files = spark.read.parquet(dir).inputFiles.toSeq
+      val areas = files.map { f =>
+        val r = spark.read.parquet(f).agg(
+          min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey")).head()
+        (r.getLong(1) - r.getLong(0) + 1).toDouble * (r.getLong(3) - r.getLong(2) + 1)
+      }
+      areas.sum / areas.size
+    }
+
+    li.repartition(8).write.parquet(s"$base/naive")
+    DataLayout.writeZOrdered(li, s"$base/z", "l_partkey", "l_suppkey", numFiles = 8)
+
+    assert(spark.read.parquet(s"$base/z").count() == li.count())
+    val naive = avgBoxArea(s"$base/naive")
+    val z = avgBoxArea(s"$base/z")
+    // hash layout: every file spans ~the full (partkey × suppkey)
+    // rectangle; z-order files cover small sub-rectangles. 4× is a
+    // loose floor — measured shrinkage is ~8-16× at 8 files.
+    assert(z * 4 < naive, s"z-order boxes not smaller: z=$z naive=$naive")
+  }
+
   test("compact: rewrites a many-small-file directory to the size-derived file count") {
     val dir = Files.createTempDirectory("compact").toString + "/t"
     val df = spark.range(0, 10000).toDF("id")
