@@ -70,6 +70,12 @@ object StreamOps {
     * pass pre-disambiguated frames; `leftTime`/`rightTime` name the
     * two event-time columns.
     */
+  /** `joinType` "inner" (default) or "leftOuter": outer emits the
+    * unmatched left row null-padded once the watermark passes its
+    * match window — the streaming form of "orders with no payment
+    * within the SLA", impossible to answer earlier than the watermark
+    * by construction.
+    */
   def intervalJoinStreams(
       left: DataFrame,
       right: DataFrame,
@@ -78,13 +84,15 @@ object StreamOps {
       leftTime: String,
       rightTime: String,
       gap: String = "15 minutes",
-      watermark: String = "30 minutes"): DataFrame = {
+      watermark: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTime, watermark)
     val r = right.withWatermark(rightTime, watermark)
     l.join(r,
       col(key) === col(rightKey) &&
         col(rightTime) >= col(leftTime) - expr(s"INTERVAL $gap") &&
-        col(rightTime) <= col(leftTime) + expr(s"INTERVAL $gap"))
+        col(rightTime) <= col(leftTime) + expr(s"INTERVAL $gap"),
+      joinType)
   }
 
   /** Continuous similarity search: a stream of (qid, ts, embedding)

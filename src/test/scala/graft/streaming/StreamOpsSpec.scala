@@ -152,6 +152,38 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intervalJoinStreams leftOuter: unmatched rows emit null-padded after watermark expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val memA = MemoryStream[StreamOps.Event]
+    val memB = MemoryStream[StreamOps.Event]
+    val a = memA.toDF().select(col("event_id").as("ea"), col("user_id").as("ua"), col("ts").as("ta"))
+    val b = memB.toDF().select(col("event_id").as("eb"), col("user_id").as("ub"), col("ts").as("tb"))
+    val q = StreamOps.intervalJoinStreams(a, b, "ua", "ub", "ta", "tb",
+      gap = "15 minutes", watermark = "30 minutes", joinType = "leftOuter")
+      .select("ea", "eb")
+      .writeStream.format("memory").queryName("interval_outer")
+      .outputMode("append").start()
+    try {
+      def ev(id: Long, user: Long, minute: Int) =
+        StreamOps.Event(id, new Timestamp(minute * 60000L), user, "e", 0.0)
+      // user 1: match within gap; user 2: left row with NO right match
+      memA.addData(ev(1, 1, 10), ev(2, 2, 10))
+      memB.addData(ev(3, 1, 12))
+      q.processAllAvailable()
+      // push both watermarks far past minute 10 + gap + watermark
+      memA.addData(ev(8, 9, 600))
+      memB.addData(ev(9, 9, 600))
+      q.processAllAvailable()
+      memA.addData(ev(10, 9, 1200)); memB.addData(ev(11, 9, 1200))
+      q.processAllAvailable()
+
+      val rows = spark.table("interval_outer").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((1L, 3L)), s"matched pair missing: $rows")
+      assert(rows.contains((2L, -1L)), s"expired unmatched left row not emitted: $rows")
+    } finally q.stop()
+  }
+
   final case class QueryVec(qid: Long, ts: Timestamp, embedding: Array[Float])
 
   test("annStream: windowed streaming ANN equals batch ivfSearch exactly") {
