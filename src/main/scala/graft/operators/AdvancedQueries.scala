@@ -240,12 +240,15 @@ object AdvancedQueries {
       val li = Tables(s, dir).lineitem
       val dim = li.select(col("l_linenumber")).distinct()
         .withColumn("label", concat(lit("L"), col("l_linenumber").cast("string")))
+      // scaled-long fast path (see q01): cents as primitive longs
+      // through the salted join + aggregation, decimal only per group
       SkewOps.saltedJoin(li, dim, key = "l_linenumber",
         discriminator = "l_orderkey", salts = 8)
         .groupBy(col("label"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          (sum(round(col("l_extendedprice") * 100).cast("long"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)) / 100)
             .cast("double").as("revenue"))
         .orderBy(col("label"))
     },

@@ -30,10 +30,15 @@ object AnalyticsQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin) { (s, dir) =>
+      // scaled-long fast path (see q01): exact cents as primitive
+      // longs through the 4× cube expansion, one per-group decimal
+      // unscale at the end — same bits as summing decimals
       Tables(s, dir).lineitem
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("l_quantity") * 100).cast("long").as("q2"))
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("qty"))
+          (sum(col("q2")).cast(DecimalType(38, 0)) / 100).cast(DoubleType).as("qty"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
