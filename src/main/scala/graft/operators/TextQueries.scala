@@ -565,6 +565,50 @@ object TextQueries {
       scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
         .select(col("doc_id"), col("rk"), col("token"), col("tfidf"))
         .orderBy(col("doc_id"), col("rk"))
+    },
+
+    // ------------------------------------------------------------------
+    // q86 — unigram language-model quality score: per-doc mean token
+    // log-probability under the corpus's own unigram distribution
+    // (the order-1 degenerate of the KenLM-perplexity filter training
+    // pipelines run; low scores flag gibberish/rare-token junk).
+    // ln once per VOCAB entry (broadcast), per-doc sum in token-
+    // position order (the q79 ordered-list contract — double sums
+    // must not depend on partition order), final float32 cast.
+    QueryDef.sql(
+      "q86_unigram_logprob",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(string_split(text,' ')) + 1)) AS pos,
+        |    unnest(string_split(text,' ')) AS token
+        |  FROM documents),
+        |vocab AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_tok FROM tok),
+        |lp AS (SELECT token, ln(c / n_tok) AS logp FROM vocab CROSS JOIN n),
+        |per_doc AS (
+        |  SELECT doc_id, list(logp ORDER BY pos) AS lps
+        |  FROM tok JOIN lp USING (token) GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(len(lps) AS INTEGER) AS n_tokens,
+        |  CAST(list_sum(lps) / len(lps) AS REAL) AS avg_logprob
+        |FROM per_doc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documentsSpread
+      val tok = docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos0", "token")))
+        .withColumn("pos", col("pos0") + 1)
+      val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      val n = tok.agg(count(lit(1)).cast(DoubleType).as("n_tok"))
+      val lp = vocab.crossJoin(broadcast(n))
+        .select(col("token"), log(col("c") / col("n_tok")).as("logp"))
+      tok.join(broadcast(lp), "token")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("logp")))).as("lps"))
+        .select(col("doc_id"),
+          size(col("lps")).as("n_tokens"),
+          (aggregate(col("lps"), lit(0.0),
+            (acc, x) => acc + x.getField("logp")) / size(col("lps")))
+            .cast(FloatType).as("avg_logprob"))
+        .orderBy(col("doc_id"))
     }
   )
 }
