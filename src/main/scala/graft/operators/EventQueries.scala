@@ -92,6 +92,51 @@ object EventQueries {
           count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .as("event_seq"))
         .orderBy(col("user_id"), col("event_seq"))
+    },
+
+    // ------------------------------------------------------------------
+    // q87 — funnel conversion: earliest view → first click after it →
+    // first purchase after that, per user; stage reached + step
+    // latencies (−1 sentinel keeps the output null-free for hashing).
+    // ONE repartition on user_id serves all three stage aggregations
+    // AND their joins — every groupBy/join downstream reuses the same
+    // hash partitioning, so the funnel costs one shuffle of the
+    // events table regardless of stage count (the q80 pattern).
+    QueryDef.sql(
+      "q87_funnel_conversion",
+      """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view,
+        |  CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS stage,
+        |  CAST(COALESCE(epoch_us(c.t_click) - epoch_us(v.t_view), -1) AS BIGINT) AS us_to_click,
+        |  CAST(COALESCE(epoch_us(p.t_purchase) - epoch_us(c.t_click), -1) AS BIGINT) AS us_to_purchase
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .repartition(col("user_id"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = e.join(v, "user_id")
+        .filter(col("event_type") === "click" && col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = e.join(c, "user_id")
+        .filter(col("event_type") === "purchase" && col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"),
+          (lit(1) + col("t_click").isNotNull.cast(IntegerType)
+            + col("t_purchase").isNotNull.cast(IntegerType)).as("stage"),
+          coalesce(unix_micros(col("t_click")) - unix_micros(col("t_view")), lit(-1L))
+            .as("us_to_click"),
+          coalesce(unix_micros(col("t_purchase")) - unix_micros(col("t_click")), lit(-1L))
+            .as("us_to_purchase"))
+        .orderBy(col("user_id"))
     }
   )
 }
