@@ -98,10 +98,12 @@ object EventQueries {
     // q87 — funnel conversion: earliest view → first click after it →
     // first purchase after that, per user; stage reached + step
     // latencies (−1 sentinel keeps the output null-free for hashing).
-    // ONE repartition on user_id serves all three stage aggregations
-    // AND their joins — every groupBy/join downstream reuses the same
-    // hash partitioning, so the funnel costs one shuffle of the
-    // events table regardless of stage count (the q80 pattern).
+    // ONE groupBy(user_id) with a time-ordered fold over the user's
+    // events computes every stage — a single scan and a single
+    // shuffle regardless of stage count (plan-guarded), where the
+    // naive per-stage aggregate-and-join re-scans and re-shuffles
+    // per stage. The oracle states the same semantics relationally
+    // (stage CTEs) — different plan, identical rows.
     QueryDef.sql(
       "q87_funnel_conversion",
       """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
@@ -117,24 +119,34 @@ object EventQueries {
         |  CAST(COALESCE(epoch_us(p.t_purchase) - epoch_us(c.t_click), -1) AS BIGINT) AS us_to_purchase
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin) { (s, dir) =>
-      val e = Tables(s, dir).events
+      val relevant = Seq("view", "click", "purchase")
+      val nullTs = lit(null).cast(TimestampType)
+      val evs = sort_array(collect_list(struct(col("ts"), col("event_type"))))
+      val folded = aggregate(
+        evs,
+        struct(nullTs.as("tv"), nullTs.as("tc"), nullTs.as("tp")),
+        (st, x) => {
+          val (tv, tc, tp) = (st.getField("tv"), st.getField("tc"), st.getField("tp"))
+          val (ts, ty) = (x.getField("ts"), x.getField("event_type"))
+          struct(
+            when(tv.isNull && ty === "view", ts).otherwise(tv).as("tv"),
+            when(tv.isNotNull && tc.isNull && ty === "click" && ts > tv, ts)
+              .otherwise(tc).as("tc"),
+            when(tc.isNotNull && tp.isNull && ty === "purchase" && ts > tc, ts)
+              .otherwise(tp).as("tp"))
+        })
+      Tables(s, dir).events
         .select(col("user_id"), col("event_type"), col("ts"))
-        .repartition(col("user_id"))
-      val v = e.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-      val c = e.join(v, "user_id")
-        .filter(col("event_type") === "click" && col("ts") > col("t_view"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
-      val p = e.join(c, "user_id")
-        .filter(col("event_type") === "purchase" && col("ts") > col("t_click"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
-      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
-        .select(col("user_id"), col("t_view"),
-          (lit(1) + col("t_click").isNotNull.cast(IntegerType)
-            + col("t_purchase").isNotNull.cast(IntegerType)).as("stage"),
-          coalesce(unix_micros(col("t_click")) - unix_micros(col("t_view")), lit(-1L))
+        .filter(col("event_type").isInCollection(relevant))
+        .groupBy(col("user_id"))
+        .agg(folded.as("f"))
+        .filter(col("f.tv").isNotNull)
+        .select(col("user_id"), col("f.tv").as("t_view"),
+          (lit(1) + col("f.tc").isNotNull.cast(IntegerType)
+            + col("f.tp").isNotNull.cast(IntegerType)).as("stage"),
+          coalesce(unix_micros(col("f.tc")) - unix_micros(col("f.tv")), lit(-1L))
             .as("us_to_click"),
-          coalesce(unix_micros(col("t_purchase")) - unix_micros(col("t_click")), lit(-1L))
+          coalesce(unix_micros(col("f.tp")) - unix_micros(col("f.tc")), lit(-1L))
             .as("us_to_purchase"))
         .orderBy(col("user_id"))
     }

@@ -121,6 +121,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n${p.take(2000)}")
   }
 
+  test("q87: the whole funnel runs in ONE shuffle (ordered fold, not per-stage agg+join)") {
+    val p = plan("q87_funnel_conversion")
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "funnel should not need joins at all")
+  }
+
   test("no query plan contains a collect-driven loop (Exchange-only shuffles)") {
     // structural smoke over every registered query at tiny SF: the plan
     // tree must build lazily without driver-side actions
