@@ -65,6 +65,36 @@ object CurationQueries {
   val all: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
+    // q88 — stutter removal: collapse runs of consecutive repeated
+    // tokens to one occurrence (the cheap boilerplate/OCR-stutter
+    // scrub that runs before tokenization; q74 measures repetition,
+    // this removes the degenerate form). Pure per-row array ops — no
+    // shuffle at all, a map-only pass at any scale. The token array
+    // binds to a projected column FIRST so the lambda's predecessor
+    // lookup doesn't re-split the text per element (O(tokens²)
+    // otherwise — measured, see SURVEY perf notes).
+    QueryDef.sql(
+      "q88_stutter_removal",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |k AS (SELECT doc_id, l,
+        |  list_filter(list_transform(range(1, len(l) + 1),
+        |    i -> CASE WHEN i = 1 OR l[i] != l[i-1] THEN l[i] ELSE NULL END),
+        |    x -> x IS NOT NULL) AS kept
+        |FROM t)
+        |SELECT doc_id, array_to_string(kept, ' ') AS cleaned,
+        |  CAST(len(l) - len(kept) AS INTEGER) AS n_removed
+        |FROM k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir).documentsSpread
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+      val kept = filter(col("l"),
+        (tok, i) => i === 0 || tok =!= element_at(col("l"), i))
+      t.select(col("doc_id"),
+        array_join(kept, " ").as("cleaned"),
+        (size(col("l")) - size(kept)).as("n_removed"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
     // q72 — eval-set decontamination: docs whose word-8-grams overlap
     // the held-out eval slice (doc_id % 10 == 0 stands in for the
     // benchmark set) are flagged before training. 8-gram overlap is
