@@ -383,20 +383,24 @@ object AnalyticsQueries {
         |  CAST(quantile_cont(l_extendedprice, 0.75) AS REAL) AS p75,
         |  CAST(quantile_cont(l_extendedprice, 0.95) AS REAL) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      // window-rank interpolation (the q41 median technique generalized
-      // to any p): rank values per group, keep only the ≤2 rows each
+      // rank-interpolation (the q41 median technique generalized to
+      // any p): rank values per group, keep only the ≤2 rows each
       // percentile interpolates between, aggregate them back into
-      // lo + frac·(hi − lo). One sort shuffle on the group key — the
-      // built-in exact `percentile` buffers every value in an
-      // ObjectHashAggregate (measured 2.5× slower at sf0.1; same
-      // REAL-cast result).
+      // lo + frac·(hi − lo). Ranking goes through [[DistributedRank]]
+      // — a plain `PARTITION BY l_returnflag` window sorts each of
+      // the 3 groups in ONE task (measured 5.5× time at 10× data);
+      // the distributed rank keeps tasks bounded (measured ~2× at
+      // 10×). The built-in exact `percentile` is worse still
+      // (ObjectHashAggregate buffering every value, 2.5× at sf0.1).
       val ps = Seq(0.25 -> "p25", 0.50 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      val wAll = Window.partitionBy(col("l_returnflag"))
-      val ranked = Tables(s, dir).lineitem
+      val li = Tables(s, dir).lineitem
         .select(col("l_returnflag"), col("l_extendedprice"),
-          row_number().over(w).as("rn"), count(lit(1)).over(wAll).as("n"))
+          col("l_orderkey"), col("l_linenumber"))
+      val nPer = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val ranked = DistributedRank.rowNumber(li,
+        Seq("l_returnflag"),
+        Seq("l_extendedprice", "l_orderkey", "l_linenumber"), "rn")
+        .join(broadcast(nPer), "l_returnflag")
       def h(p: Double) = (col("n") - 1).cast(DoubleType) * lit(p)
       val needed = ps.map { case (p, _) =>
         col("rn") === floor(h(p)).cast("long") + 1 || col("rn") === ceil(h(p)).cast("long") + 1
