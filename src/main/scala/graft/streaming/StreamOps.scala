@@ -152,6 +152,30 @@ object StreamOps {
       .select(col("win.start").as("window_start"), col("qid"), col("neighbors"))
   }
 
+  /** Trending tokens: per event-time window, the exact top-k most
+    * frequent tokens in the document stream — the corpus-monitoring
+    * dashboard query, continuously. The mergeable [[graft.functions.
+    * TopKByCount]] Aggregator keeps map-side partial counts, so the
+    * shuffle carries one count-map per (window, partition), state is
+    * watermark-bounded, and append mode emits each window once on
+    * close. Batch equivalent: q34 per window.
+    */
+  def trendingTokens(
+      docs: DataFrame,
+      k: Int,
+      window_ : String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame = {
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKByCount(k),
+      org.apache.spark.sql.Encoders.STRING)
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(window(col("ts"), window_).as("win"))
+      .agg(topk(col("token")).as("top_tokens"))
+      .select(col("win.start").as("window_start"), col("top_tokens"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   final case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)

@@ -46,6 +46,16 @@ class RetentionSpec extends AnyFunSuite {
     out.unpersist(); pairs.unpersist()
   }
 
+  test("retainBest with zero pairs: every doc is its own component and keeps itself") {
+    import spark.implicits._
+    val scored = Seq((1L, 0.5), (2L, 0.9), (3L, 0.1)).toDF("id", "sc")
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val out = Retention.retainBest(empty, scored, "id", "sc").collect()
+    assert(out.length == 3)
+    assert(out.forall(r => r.getLong(0) == r.getLong(1))) // own component
+    assert(out.forall(_.getInt(3) == 1)) // all kept
+  }
+
   test("retainBest == union-find model on random graphs (components, keeper choice, tiebreaks)") {
     import spark.implicits._
     val rng = new scala.util.Random(42)

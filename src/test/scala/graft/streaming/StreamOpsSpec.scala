@@ -184,6 +184,32 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  final case class TimedDoc(ts: Timestamp, text: String)
+
+  test("trendingTokens: windowed streaming top-k equals the batch token count exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TimedDoc]
+    val q = StreamOps.trendingTokens(mem.toDF(), k = 2)
+      .writeStream.format("memory").queryName("trending")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = new Timestamp(min * 60000L)
+      // window [0,1): "b" ×3, "a" ×2, "c" ×1 → top2 = b, a
+      mem.addData(TimedDoc(t(0), "a b b"), TimedDoc(t(0), "b a c"))
+      // window [1,2): tie a=b → tiebreak token asc → a first
+      mem.addData(TimedDoc(t(1), "a b"))
+      q.processAllAvailable()
+      mem.addData(TimedDoc(t(10), "z")) // advance watermark, close both
+      q.processAllAvailable()
+
+      val rows = spark.table("trending")
+        .collect().map(r => r.getTimestamp(0).getTime / 60000 ->
+          r.getSeq[Row](1).map(x => (x.getString(0), x.getLong(1)))).toMap
+      assert(rows(0) == Seq(("b", 3L), ("a", 2L)))
+      assert(rows(1) == Seq(("a", 1L), ("b", 1L)))
+    } finally q.stop()
+  }
+
   final case class QueryVec(qid: Long, ts: Timestamp, embedding: Array[Float])
 
   test("annStream: windowed streaming ANN equals batch ivfSearch exactly") {
