@@ -67,18 +67,30 @@ object AnalyticsQueries {
     },
 
     // ------------------------------------------------------------------
-    // q46 — ntile quartiles over a GLOBAL order: API parity for the
-    // distribution-window family. A global ORDER BY window is a
-    // single-partition sort by construction — at 100 TB use
-    // `ntile over (partition by <shard> ...)` or approx quantiles
-    // (q41 exact median / percentile_approx) instead.
+    // q46 — ntile quartiles over a GLOBAL order. A literal global
+    // ORDER BY window is a single-partition sort by construction, so
+    // the engine computes the identical buckets from the
+    // [[DistributedRank]] global row number + SQL ntile's bucket
+    // arithmetic (first n%k buckets one row larger) — balanced tasks
+    // at any scale, bit-identical output to the window form the
+    // oracle runs. The cohort-partitioned variant is q63.
     QueryDef.sql(
       "q46_ntile_quartile",
       """SELECT o_orderkey, CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables(s, dir).orders.select(
-        col("o_orderkey"), ntile(4).over(w).as("quartile"))
+      val k = 4
+      val o = Tables(s, dir).orders.select(col("o_orderkey"), col("o_totalprice"))
+      val nRow = o.agg(count(lit(1)).as("n"))
+      val ranked = DistributedRank.rowNumber(o,
+        groupCols = Seq.empty, orderCols = Seq("o_totalprice", "o_orderkey"), "rn")
+        .crossJoin(broadcast(nRow))
+      // SQL ntile: q = n/k, r = n%k; first r buckets have q+1 rows
+      val q = floor(col("n") / k).cast("long")
+      val r = col("n") % k
+      val big = r * (q + 1) // rows covered by the larger buckets
+      val quartile = when(col("rn") <= big, floor((col("rn") - 1) / (q + 1)))
+        .otherwise(r + floor((col("rn") - 1 - big) / q)) + 1
+      ranked.select(col("o_orderkey"), quartile.cast(IntegerType).as("quartile"))
         .orderBy(col("o_orderkey"))
     },
 
