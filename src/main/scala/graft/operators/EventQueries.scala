@@ -103,7 +103,11 @@ object EventQueries {
     // shuffle regardless of stage count (plan-guarded), where the
     // naive per-stage aggregate-and-join re-scans and re-shuffles
     // per stage. The oracle states the same semantics relationally
-    // (stage CTEs) — different plan, identical rows.
+    // (stage CTEs) — different plan, identical rows. The collected
+    // array is bounded by one user's FUNNEL-RELEVANT events (the
+    // type filter sits below the shuffle); a pathological single-user
+    // firehose would instead pre-collapse to first-per-(user, type,
+    // hour) before the fold — same result, bounded state.
     QueryDef.sql(
       "q87_funnel_conversion",
       """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events

@@ -572,9 +572,13 @@ object TextQueries {
     // log-probability under the corpus's own unigram distribution
     // (the order-1 degenerate of the KenLM-perplexity filter training
     // pipelines run; low scores flag gibberish/rare-token junk).
-    // ln once per VOCAB entry (broadcast), per-doc sum in token-
-    // position order (the q79 ordered-list contract — double sums
-    // must not depend on partition order), final float32 cast.
+    // ln once per VOCAB entry, per-doc sum in token-position order
+    // (the q79 ordered-list contract — double sums must not depend on
+    // partition order), final float32 cast. The vocab side is
+    // broadcast here; at web scale the vocabulary outgrows a
+    // broadcast — drop the hint (plain shuffled equi-join on token)
+    // or prune to the top-N vocab + OOV bucket, which is what
+    // perplexity filters deploy anyway.
     QueryDef.sql(
       "q86_unigram_logprob",
       """WITH tok AS (
