@@ -449,7 +449,7 @@ object AnalyticsQueries {
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag,
         |  CAST(n AS BIGINT) AS n,
-        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+        |  CAST((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS REAL) AS corr_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       val x = col("l_quantity").cast(DecimalType(12, 2))
       val y = col("l_extendedprice").cast(DecimalType(18, 2))
@@ -462,12 +462,14 @@ object AnalyticsQueries {
           sum(x * y).cast(DoubleType).as("sxy"),
           sum(x * x).cast(DoubleType).as("sxx"),
           sum(y * y).cast(DoubleType).as("syy"))
+        // final REAL cast: the a·b − c·d double combination is 1-ulp
+        // engine-sensitive (FMA/association — observed at sf0.001)
         .select(col("l_returnflag"),
           col("n").cast("long").as("n"),
           ((col("n") * col("sxy") - col("sx") * col("sy")) /
             (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
               sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
-            .as("corr_qty_price"))
+            .cast("float").as("corr_qty_price"))
         .orderBy(col("l_returnflag"))
     }
   )

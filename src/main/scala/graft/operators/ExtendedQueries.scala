@@ -67,10 +67,14 @@ object ExtendedQueries {
       """SELECT l_returnflag,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
-        |  SQRT((COUNT(*) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  CAST(SQRT((COUNT(*) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
         |        - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE))
-        |       / (COUNT(*) * (COUNT(*) - 1))) AS stddev_price
+        |       / (COUNT(*) * (COUNT(*) - 1))) AS REAL) AS stddev_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      // moments are exact decimals, but the a·b − c·d combination is
+      // 1-ulp engine-sensitive in DOUBLE (fused multiply-add /
+      // association differences — observed at sf0.001); the final
+      // REAL cast absorbs it, same contract as the trig/vector math
       val p = dec2(col("l_extendedprice"))
       Tables(s, dir).lineitem
         .groupBy(col("l_returnflag"))
@@ -78,7 +82,7 @@ object ExtendedQueries {
           count(lit(1)).as("n"),
           dbl(sum(p)).as("sum_price"),
           sqrt((count(lit(1)) * dbl(sum(p * p)) - dbl(sum(p)) * dbl(sum(p)))
-            / (count(lit(1)) * (count(lit(1)) - 1))).as("stddev_price"))
+            / (count(lit(1)) * (count(lit(1)) - 1))).cast(FloatType).as("stddev_price"))
         .orderBy(col("l_returnflag"))
     },
 
