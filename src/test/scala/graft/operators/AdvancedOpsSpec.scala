@@ -9,6 +9,23 @@ class AdvancedOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("scaled-long pattern: round(x*100) picks exactly the DECIMAL(.,2) cast's integer") {
+    // the q01/q44/q33 fast path rests on this equivalence; exercise
+    // the whole 2-dp representable range density around tricky
+    // binary-fraction values (x.x5 boundaries, large magnitudes)
+    val rng = new scala.util.Random(11)
+    val cents = Seq.tabulate(20000)(i =>
+      if (i < 10000) i.toLong - 5000 // dense small range incl. negatives
+      else rng.nextLong() % 1000000000L) // up to ±1e7 dollars
+    val df = cents.map(c => c / 100.0).toDF("v")
+    val mismatches = df.select(
+      round(col("v") * 100).cast("long").as("fast"),
+      (col("v").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long").as("exact"))
+      .filter(col("fast") =!= col("exact")).count()
+    assert(mismatches == 0L)
+  }
+
   test("asOf join picks the latest right row at-or-before each left time") {
     val right = Seq(
       (1L, 10L, "s10"), (1L, 20L, "s20"), (2L, 15L, "s15")
