@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+import scala.collection.mutable
+
+/** Approximate heavy hitters: count-min sketch + capped candidate
+  * set, as a mergeable typed `Aggregator`. The sketch bounds memory
+  * at depth×width longs per partition REGARDLESS of key cardinality —
+  * the promised "same API slot" scale fallback for
+  * [[TopKByCount]], whose exact per-partition maps grow with the
+  * vocabulary.
+  *
+  * Guarantees (standard CMS): estimates never undercount; overcount
+  * ≤ n/width with probability 1 − (1/2)^depth. Top-k output is exact
+  * when the true k-th count exceeds the (k+1)-th by the error bound —
+  * the heavy-hitter regime this exists for. Deterministic: fixed
+  * seeded hash family, (estimate desc, value asc) tiebreak.
+  *
+  * Candidate tracking keeps ≤ 8k entries per buffer (re-estimated
+  * and re-pruned on merge), so the driver never sees more than a
+  * bounded set per group.
+  */
+class CountMinTopK(k: Int, depth: Int = 4, width: Int = 512)
+  extends Aggregator[String, CountMinTopK.Buf, Seq[(String, Long)]] {
+
+  import CountMinTopK._
+
+  private val cap = math.max(8 * k, 16)
+
+  override def zero: Buf = Buf(new Array[Long](depth * width), mutable.Map.empty)
+
+  private def rowHash(s: String, d: Int): Int = {
+    // two independent 32-bit mixes combined per row (Kirsch–
+    // Mitzenmacher): h1 + d*h2, reduced mod width
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x85ebca6b) | 1
+    val h = h1 + d * h2
+    math.floorMod(h, width)
+  }
+
+  private def add(b: Buf, s: String, c: Long): Unit = {
+    var d = 0
+    while (d < depth) { b.counts(d * width + rowHash(s, d)) += c; d += 1 }
+  }
+
+  private def estimate(b: Buf, s: String): Long = {
+    var est = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      val v = b.counts(d * width + rowHash(s, d))
+      if (v < est) est = v
+      d += 1
+    }
+    est
+  }
+
+  private def prune(b: Buf): Unit =
+    if (b.cand.size > cap) {
+      val keep = b.cand.toSeq.sortBy { case (v, c) => (-c, v) }.take(cap)
+      b.cand.clear(); b.cand ++= keep
+    }
+
+  override def reduce(b: Buf, a: String): Buf = {
+    add(b, a, 1L)
+    b.cand.update(a, estimate(b, a))
+    prune(b)
+    b
+  }
+
+  override def merge(b1: Buf, b2: Buf): Buf = {
+    var i = 0
+    while (i < b1.counts.length) { b1.counts(i) += b2.counts(i); i += 1 }
+    // re-estimate every candidate against the MERGED sketch
+    val keys = b1.cand.keySet ++ b2.cand.keySet
+    b1.cand.clear()
+    keys.foreach(s => b1.cand.update(s, estimate(b1, s)))
+    prune(b1)
+    b1
+  }
+
+  override def finish(b: Buf): Seq[(String, Long)] =
+    b.cand.toSeq.sortBy { case (v, c) => (-c, v) }.take(k)
+
+  override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+
+  override def outputEncoder: Encoder[Seq[(String, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+}
+
+object CountMinTopK {
+  final case class Buf(counts: Array[Long], cand: mutable.Map[String, Long])
+}

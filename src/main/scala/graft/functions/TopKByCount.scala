@@ -13,8 +13,8 @@ import scala.collection.mutable
   *
   * This is the heavy-hitters primitive for corpus vocabularies; for
   * cardinalities where exact per-partition maps don't fit, switch to
-  * the sketch path (`approx_count_distinct` / count-min) — same API
-  * slot.
+  * [[CountMinTopK]] — same API slot, memory bounded by the sketch
+  * size instead of the vocabulary.
   */
 class TopKByCount(k: Int) extends Aggregator[String, mutable.Map[String, Long], Seq[(String, Long)]] {
 

@@ -1,0 +1,53 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CountMinTopKSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // skewed stream: 5 heavy keys well above a 200-key tail
+  private def data: Seq[String] = {
+    val heavy = (0 until 5).flatMap(i => Seq.fill(500 + 100 * i)(s"heavy$i"))
+    val tail = (0 until 200).flatMap(i => Seq.fill(1 + i % 3)(s"tail$i"))
+    new scala.util.Random(3).shuffle(heavy ++ tail)
+  }
+
+  test("sketch top-k equals exact top-k on a heavy-hitter distribution; estimates never undercount") {
+    val ds = data.toDS()
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (v, c) => (-c, v) }.take(5)
+    val got = ds.select(udaf(new CountMinTopK(5), org.apache.spark.sql.Encoders.STRING)
+      .apply(col("value")).as("topk"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.map(_._1) == exact.map(_._1), s"got=$got exact=$exact")
+    // CMS never undercounts; overcount bounded by n/width
+    val exactMap = exact.toMap
+    got.foreach { case (v, est) =>
+      assert(est >= exactMap(v), s"$v undercounted: $est < ${exactMap(v)}")
+      assert(est <= exactMap(v) + data.size.toLong / 512 + 1, s"$v overcounted far: $est")
+    }
+  }
+
+  test("mergeable: arbitrary partition splits give the same top-k") {
+    val a = data.toDS().repartition(13)
+    val b = data.toDS().repartition(2)
+    def run(ds: org.apache.spark.sql.Dataset[String]) =
+      ds.select(udaf(new CountMinTopK(5), org.apache.spark.sql.Encoders.STRING)
+        .apply(col("value")).as("topk"))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getLong(1)))
+    assert(run(a) == run(b))
+  }
+
+  test("deterministic across runs") {
+    val ds = data.toDS()
+    def once() = ds.select(udaf(new CountMinTopK(3), org.apache.spark.sql.Encoders.STRING)
+      .apply(col("value"))).head().getSeq[org.apache.spark.sql.Row](0).toSeq
+    assert(once() == once())
+  }
+}
