@@ -49,15 +49,22 @@ case class Float32Dot(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName is mandatory: in Predicate contexts the generated method's
+      // row parameter is literally named `i`, so a hardcoded `int i` makes
+      // Janino fail and Spark silently drop to interpreted eval.
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val i = ctx.freshName("i")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double sum = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  sum += (double)($a.getFloat(i) * $b.getFloat(i));
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += (double)($a.getFloat($i) * $b.getFloat($i));
          |}
-         |${ev.value} = sum;
-       """.stripMargin)
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Float32Dot =
     copy(left = newLeft, right = newRight)

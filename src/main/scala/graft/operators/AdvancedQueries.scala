@@ -241,14 +241,16 @@ object AdvancedQueries {
       val dim = li.select(col("l_linenumber")).distinct()
         .withColumn("label", concat(lit("L"), col("l_linenumber").cast("string")))
       // scaled-long fast path (see q01): cents as primitive longs
-      // through the salted join + aggregation, decimal only per group
+      // through the salted join; the sum buffer is Decimal(38,0) —
+      // one label can hold 1/7 of lineitem, and sum(long) over
+      // ~1.1e7-cent rows has <10× headroom at 100 TB (ScaledLongSpec)
       SkewOps.saltedJoin(li, dim, key = "l_linenumber",
         discriminator = "l_orderkey", salts = 8)
         .groupBy(col("label"))
         .agg(
           count(lit(1)).as("n"),
-          (sum(round(col("l_extendedprice") * 100).cast("long"))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0)) / 100)
+          (sum(round(col("l_extendedprice") * 100).cast("long")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))) / 100)
             .cast("double").as("revenue"))
         .orderBy(col("label"))
     },

@@ -32,7 +32,10 @@ object AnalyticsQueries {
         |ORDER BY rf, ls""".stripMargin) { (s, dir) =>
       // scaled-long fast path (see q01): exact cents as primitive
       // longs through the 4× cube expansion, one per-group decimal
-      // unscale at the end — same bits as summing decimals
+      // unscale at the end — same bits as summing decimals.
+      // Overflow-safe as a long sum: q2 ≤ 5.1e3/row wraps only past
+      // 1.8e15 rows in the CUBE's ALL cell — >2000× the row count of
+      // a 100 TB lineitem (bound pinned in ScaledLongSpec).
       Tables(s, dir).lineitem
         .select(col("l_returnflag"), col("l_linestatus"),
           round(col("l_quantity") * 100).cast("long").as("q2"))

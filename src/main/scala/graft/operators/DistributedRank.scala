@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed exact ranking for LOW-CARDINALITY groups.
   *
@@ -16,7 +16,9 @@ import org.apache.spark.sql.types.LongType
   *   1. range-partition on (group, order) — each partition holds a
   *      contiguous slice of one (or a few) group's order;
   *   2. count rows per (partition, group) — a tiny aggregate;
-  *   3. broadcast the running offset of each (group, partition);
+  *   3. cumulative offsets per group computed ON THE DRIVER over that
+  *      ≤ numPartitions × #groups row table, broadcast back as a local
+  *      relation (no WindowExec, no extra broadcast subplan job);
   *   4. local row_number within (partition, group) + offset = exact
   *      global rank.
   *
@@ -24,6 +26,15 @@ import org.apache.spark.sql.types.LongType
   * wall-clock scales with cores, not group count. Ranks are exact and
   * deterministic when `orderCols` totally order rows within a group
   * (add tiebreak columns, same as any window).
+  *
+  * The range-partitioned frame is persisted before the counts action:
+  * both the offsets table and the final join must observe the SAME
+  * partition assignment, and RangePartitioner's sample seed varies
+  * with RDD identity — relying on ReuseExchange to fire (it usually
+  * does, but is not guaranteed across recomputation/executor loss)
+  * would make exactness a plan-cache accident. The persist is
+  * populated by the counts action and reused by the join; callers'
+  * `clearCache()` (or the ContextCleaner) reclaims it.
   */
 object DistributedRank {
 
@@ -33,20 +44,36 @@ object DistributedRank {
       orderCols: Seq[String],
       out: String = "rn",
       numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
     val sortCols = (groupCols ++ orderCols).map(col)
     val n = if (numPartitions > 0) numPartitions
-      else df.sparkSession.sessionState.conf.numShufflePartitions
+      else spark.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(n, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-    val counts = ranged
+      .persist()
+    val countsDf = ranged
       .groupBy(col("__pid") +: groupCols.map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
-    val wOff = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
-      .drop("__cnt")
+    val counts = countsDf.collect() // ≤ n × #groups rows by the low-cardinality contract
+    // Running offset of each (group, partition): plain scan over the
+    // collected rows — (__pid, groupCols..., __cnt) column order.
+    val offRows = counts
+      .groupBy(r => groupCols.map(g => r.getAs[Any](g)))
+      .valuesIterator
+      .flatMap { rows =>
+        var acc = 0L
+        rows.sortBy(_.getAs[Int]("__pid")).map { r =>
+          val off = acc
+          acc += r.getAs[Long]("__cnt")
+          Row.fromSeq(r.toSeq.dropRight(1) :+ off)
+        }
+      }
+      .toSeq
+    val offSchema = StructType(
+      countsDf.schema.fields.dropRight(1) :+
+        StructField("__off", LongType, nullable = false))
+    val offsets = spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*), offSchema)
     val wLocal = Window
       .partitionBy(col("__pid") +: groupCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)

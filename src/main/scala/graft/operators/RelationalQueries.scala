@@ -56,6 +56,13 @@ object RelationalQueries {
       // and only the per-GROUP totals re-enter exact decimal to divide
       // the scale back out (exact rational, then one correctly-rounded
       // double cast — bit-identical to summing decimals directly).
+      // Overflow discipline: per-row products stay primitive longs, but
+      // the scale-4/6 products are summed into a Decimal(38,0) buffer —
+      // sum(long) over pdt6 (≤ ~1.3e11/row) wraps silently past ~7e7
+      // rows PER GROUP, far below the 100 TB target. The scale-2 sums
+      // stay primitive: q2 ≤ 5.1e3 and p2 ≤ 1.1e7 per row bind at
+      // ≥ 8e11 rows in ONE group (> all of lineitem at 100 TB, ~3.7×
+      // headroom even degenerate) — bound pinned in ScaledLongSpec.
       val li = Tables(s, dir).lineitem
       def cents(c: Column): Column = round(c * 100).cast(LongType)
       val p = cents(col("l_extendedprice"))
@@ -64,6 +71,7 @@ object RelationalQueries {
       val t100 = lit(100L) + cents(col("l_tax"))
       def unscale(sumCol: Column, scale: Int): Column =
         dbl(sumCol.cast(DecimalType(38, 0)) / math.pow(10, scale).toLong)
+      def sumDec(c: Column): Column = sum(c.cast(DecimalType(38, 0)))
       li.filter(col("l_shipdate") <= ts("2001-09-02"))
         .select(col("l_returnflag"), col("l_linestatus"),
           q.as("q2"), p.as("p2"), (p * d100).as("pd4"), (p * d100 * t100).as("pdt6"))
@@ -71,8 +79,8 @@ object RelationalQueries {
         .agg(
           unscale(sum(col("q2")), 2).as("sum_qty"),
           unscale(sum(col("p2")), 2).as("sum_base_price"),
-          unscale(sum(col("pd4")), 4).as("sum_disc_price"),
-          unscale(sum(col("pdt6")), 6).as("sum_charge"),
+          unscale(sumDec(col("pd4")), 4).as("sum_disc_price"),
+          unscale(sumDec(col("pdt6")), 6).as("sum_charge"),
           (unscale(sum(col("q2")), 2) / count(lit(1))).as("avg_qty"),
           (unscale(sum(col("p2")), 2) / count(lit(1))).as("avg_price"),
           count(lit(1)).as("count_order"))
