@@ -87,7 +87,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    // Durable copy for humans/tools that miss the stdout tail.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_last.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    // Stop Spark BEFORE printing: the metric line must be the program's
+    // last stdout so nothing (driver-side shutdown logs included) lands
+    // between it and the harness' tail parse.
     spark.stop()
+    println(line)
   }
 }

@@ -18,9 +18,10 @@ import scala.collection.mutable
   * the heavy-hitter regime this exists for. Deterministic: fixed
   * seeded hash family, (estimate desc, value asc) tiebreak.
   *
-  * Candidate tracking keeps ≤ 8k entries per buffer (re-estimated
-  * and re-pruned on merge), so the driver never sees more than a
-  * bounded set per group.
+  * Candidate tracking keeps ≤ 16k entries per buffer during
+  * accumulation (lazily trimmed back to 8k — an eager per-row prune
+  * would sort the map on EVERY row once saturated) and ≤ 8k after a
+  * merge, so the driver never sees more than a bounded set per group.
   */
 class CountMinTopK(k: Int, depth: Int = 4, width: Int = 512)
   extends Aggregator[String, CountMinTopK.Buf, Seq[(String, Long)]] {
@@ -56,8 +57,12 @@ class CountMinTopK(k: Int, depth: Int = 4, width: Int = 512)
     est
   }
 
-  private def prune(b: Buf): Unit =
-    if (b.cand.size > cap) {
+  // Trim back to `cap` once `limit` is exceeded. reduce() passes
+  // limit = 2*cap so the O(size log size) sort amortizes to O(log cap)
+  // per row instead of firing on every row past saturation; merge()
+  // passes `cap` so a finished buffer is always at the documented bound.
+  private def prune(b: Buf, limit: Int): Unit =
+    if (b.cand.size > limit) {
       val keep = b.cand.toSeq.sortBy { case (v, c) => (-c, v) }.take(cap)
       b.cand.clear(); b.cand ++= keep
     }
@@ -65,7 +70,7 @@ class CountMinTopK(k: Int, depth: Int = 4, width: Int = 512)
   override def reduce(b: Buf, a: String): Buf = {
     add(b, a, 1L)
     b.cand.update(a, estimate(b, a))
-    prune(b)
+    prune(b, 2 * cap)
     b
   }
 
@@ -76,7 +81,7 @@ class CountMinTopK(k: Int, depth: Int = 4, width: Int = 512)
     val keys = b1.cand.keySet ++ b2.cand.keySet
     b1.cand.clear()
     keys.foreach(s => b1.cand.update(s, estimate(b1, s)))
-    prune(b1)
+    prune(b1, cap)
     b1
   }
 

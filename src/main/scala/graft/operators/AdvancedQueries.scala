@@ -329,6 +329,43 @@ object AdvancedQueries {
           |FROM lineitem
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
           |ORDER BY rf, ls""".stripMargin)
+    },
+
+    // ------------------------------------------------------------------
+    // q90 — the CountMinTopK sketch as a driver-checked operator: the
+    // bounded-memory twin of q68's exact TopKByCount, run as the
+    // two-pass pattern a 100 TB vocabulary needs — (1) CMS pass with
+    // depth×width counters per partition REGARDLESS of key cardinality
+    // emits an oversampled candidate set (top-40 per language for a
+    // top-10 answer), (2) candidates-only exact recount (a semi-join
+    // against a tiny broadcast set) + rank. The final answer is EXACT
+    // whenever the candidates cover the true top-10 — which is the
+    // heavy-hitter regime the sketch guarantees — so it hash-matches
+    // the plain exact oracle; a recall failure breaks the hash.
+    QueryDef.sql(
+      "q90_cms_topk_tokens",
+      """WITH tok AS (SELECT lang, unnest(string_split(text,' ')) AS token FROM documents),
+        |counts AS (SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+        |ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY lang ORDER BY n DESC, token) AS rk FROM counts)
+        |SELECT lang, CAST(rk AS INTEGER) AS rk, token, n
+        |FROM ranked WHERE rk <= 10 ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val pairs = Tables(s, dir).documentsSpread
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      val cand = pairs.as[(String, String)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new graft.functions.CountMinTopK(40).toColumn.name("cand"))
+        .toDF("lang", "cand")
+        .select(col("lang"), explode(col("cand._1")).as("token"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n").desc, col("token"))
+      pairs.join(broadcast(cand), Seq("lang", "token"), "left_semi")
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("rk"), col("token"), col("n"))
+        .orderBy(col("lang"), col("rk"))
     }
   )
 }

@@ -474,6 +474,54 @@ object AnalyticsQueries {
               sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
             .cast("float").as("corr_qty_price"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // ------------------------------------------------------------------
+    // q89 — percentile_approx, the mergeable-sketch percentile that
+    // replaces q84's exact form at 100 TB, made ORACLE-ABLE through a
+    // self-judging rank gate: the sketch's outputs cannot hash-match a
+    // different engine value-for-value, but its Greenwald–Khanna
+    // contract is deterministic — every returned value must hold a
+    // rank within n/accuracy of p·n. The Spark side re-ranks the 4
+    // sketch outputs EXACTLY (one broadcast join back over the data)
+    // and emits the bound checks as booleans; the oracle emits literal
+    // TRUE. A sketch regression (wrong merge, bad accuracy plumbing)
+    // flips a boolean and breaks the hash. Exact companion: q84.
+    QueryDef.sql(
+      "q89_percentile_sketch",
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  TRUE AS ok25, TRUE AS ok50, TRUE AS ok75, TRUE AS ok95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val acc = 1000 // rank error ≤ n/1000 per the percentile_approx contract
+      val ps = Seq(0.25 -> "25", 0.50 -> "50", 0.75 -> "75", 0.95 -> "95")
+      val li = Tables(s, dir).lineitem.select(col("l_returnflag"), col("l_extendedprice"))
+      val sk = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(
+          col("l_extendedprice"),
+          array(ps.map(p => lit(p._1)): _*), lit(acc)).as("ap"))
+      // Exact rank interval of each sketch output: with ties the value v
+      // occupies ranks [count(<v)+1, count(<=v)]; the guarantee holds iff
+      // that interval overlaps [(p - 1/acc)·n - 1, (p + 1/acc)·n + 1].
+      // The ±1 covers the sketch's integer rank targeting (observed:
+      // rank error 2.0 vs ε·n = 1.962 at sf0.001 — truncation, not a
+      // contract breach).
+      val agg0 = li.join(broadcast(sk), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          ps.zipWithIndex.flatMap { case ((_, nm), i) =>
+            Seq(
+              sum(when(col("l_extendedprice") < col("ap")(i), 1L).otherwise(0L)).as(s"lt$nm"),
+              sum(when(col("l_extendedprice") <= col("ap")(i), 1L).otherwise(0L)).as(s"le$nm"))
+          }: _*)
+      val checks = ps.map { case (p, nm) =>
+        val loBound = (lit(p) - lit(1.0) / acc) * col("n").cast(DoubleType) - 1
+        val hiBound = (lit(p) + lit(1.0) / acc) * col("n").cast(DoubleType) + 1
+        ((col(s"lt$nm") + 1).cast(DoubleType) <= hiBound &&
+          col(s"le$nm").cast(DoubleType) >= loBound).as(s"ok$nm")
+      }
+      agg0.select(col("l_returnflag") +: col("n") +: checks: _*)
+        .orderBy(col("l_returnflag"))
     }
   )
 }

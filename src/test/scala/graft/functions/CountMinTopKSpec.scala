@@ -50,4 +50,20 @@ class CountMinTopKSpec extends AnyFunSuite {
       .apply(col("value"))).head().getSeq[org.apache.spark.sql.Row](0).toSeq
     assert(once() == once())
   }
+
+  test("candidate buffer stays bounded under the lazy prune (2x cap accumulating, cap after merge)") {
+    val agg = new CountMinTopK(5) // cap = max(8*5, 16) = 40
+    var b = agg.zero
+    (1 to 5000).foreach(i => b = agg.reduce(b, s"k$i"))
+    assert(b.cand.size <= 80, s"accumulating buffer grew to ${b.cand.size}")
+    val merged = agg.merge(b, agg.zero)
+    assert(merged.cand.size <= 40, s"merged buffer grew to ${merged.cand.size}")
+    // heavy hitters still surface through the lazy prune
+    var h = agg.zero
+    val rng = new scala.util.Random(5)
+    val stream = rng.shuffle(
+      (1 to 2000).map(i => s"t$i") ++ (1 to 5).flatMap(i => Seq.fill(300 + i)(s"H$i")))
+    stream.foreach(s => h = agg.reduce(h, s))
+    assert(agg.finish(h).map(_._1).toSet == Set("H1", "H2", "H3", "H4", "H5"))
+  }
 }
