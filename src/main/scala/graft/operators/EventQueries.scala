@@ -105,9 +105,10 @@ object EventQueries {
     // per stage. The oracle states the same semantics relationally
     // (stage CTEs) — different plan, identical rows. The collected
     // array is bounded by one user's FUNNEL-RELEVANT events (the
-    // type filter sits below the shuffle); a pathological single-user
-    // firehose would instead pre-collapse to first-per-(user, type,
-    // hour) before the fold — same result, bounded state.
+    // type filter sits below the shuffle); for a pathological
+    // single-user firehose use [[FunnelOps.funnelStaged]] — the exact
+    // O(1)-state-per-group cascade (equality spec-pinned; an
+    // hour-bucketed pre-collapse is NOT sound, see FunnelOps scaladoc).
     QueryDef.sql(
       "q87_funnel_conversion",
       """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
@@ -123,36 +124,7 @@ object EventQueries {
         |  CAST(COALESCE(epoch_us(p.t_purchase) - epoch_us(c.t_click), -1) AS BIGINT) AS us_to_purchase
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin) { (s, dir) =>
-      val relevant = Seq("view", "click", "purchase")
-      val nullTs = lit(null).cast(TimestampType)
-      val evs = sort_array(collect_list(struct(col("ts"), col("event_type"))))
-      val folded = aggregate(
-        evs,
-        struct(nullTs.as("tv"), nullTs.as("tc"), nullTs.as("tp")),
-        (st, x) => {
-          val (tv, tc, tp) = (st.getField("tv"), st.getField("tc"), st.getField("tp"))
-          val (ts, ty) = (x.getField("ts"), x.getField("event_type"))
-          struct(
-            when(tv.isNull && ty === "view", ts).otherwise(tv).as("tv"),
-            when(tv.isNotNull && tc.isNull && ty === "click" && ts > tv, ts)
-              .otherwise(tc).as("tc"),
-            when(tc.isNotNull && tp.isNull && ty === "purchase" && ts > tc, ts)
-              .otherwise(tp).as("tp"))
-        })
-      Tables(s, dir).events
-        .select(col("user_id"), col("event_type"), col("ts"))
-        .filter(col("event_type").isInCollection(relevant))
-        .groupBy(col("user_id"))
-        .agg(folded.as("f"))
-        .filter(col("f.tv").isNotNull)
-        .select(col("user_id"), col("f.tv").as("t_view"),
-          (lit(1) + col("f.tc").isNotNull.cast(IntegerType)
-            + col("f.tp").isNotNull.cast(IntegerType)).as("stage"),
-          coalesce(unix_micros(col("f.tc")) - unix_micros(col("f.tv")), lit(-1L))
-            .as("us_to_click"),
-          coalesce(unix_micros(col("f.tp")) - unix_micros(col("f.tc")), lit(-1L))
-            .as("us_to_purchase"))
-        .orderBy(col("user_id"))
+      FunnelOps.funnelFold(Tables(s, dir).events)
     }
   )
 }

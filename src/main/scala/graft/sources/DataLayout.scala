@@ -80,6 +80,14 @@ object DataLayout {
     * `targetFileBytes` (computed from actual on-disk size — column
     * encoding survives the round trip, so output sizing tracks input
     * sizing closely). Returns the chosen file count.
+    *
+    * Swap order is crash-safe for the DATA: write tmp → rename the
+    * original ASIDE → rename tmp into place → delete the aside copy.
+    * A crash mid-swap can leave the table path briefly absent (readers
+    * in that window fail and the `_compact_old` dir still holds the
+    * data), but no failure point loses rows — recovery is renaming the
+    * aside dir back. For fully atomic swaps use a table format with a
+    * metadata pointer; this utility is for offline maintenance.
     */
   def compact(spark: SparkSession, path: String, targetFileBytes: Long): Int = {
     val hPath = new Path(path)
@@ -87,10 +95,17 @@ object DataLayout {
     val bytes = fs.getContentSummary(hPath).getLength
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = new Path(hPath.getParent, hPath.getName + "_compact_tmp")
+    val old = new Path(hPath.getParent, hPath.getName + "_compact_old")
     spark.read.parquet(path).repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(hPath, true)
-    fs.rename(tmp, hPath)
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a prior crash
+    if (!fs.rename(hPath, old))
+      throw new java.io.IOException(s"compact: could not move $hPath aside")
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(old, hPath) // roll back: original data untouched
+      throw new java.io.IOException(s"compact: could not move $tmp into place")
+    }
+    fs.delete(old, true)
     n
   }
 }
