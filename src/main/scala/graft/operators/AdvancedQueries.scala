@@ -366,6 +366,36 @@ object AdvancedQueries {
         .filter(col("rk") <= 10)
         .select(col("lang"), col("rk"), col("token"), col("n"))
         .orderBy(col("lang"), col("rk"))
+    },
+
+    // ------------------------------------------------------------------
+    // q91 — connected components on a CHAIN-shaped graph (each
+    // customer's orders linked consecutively by date): the worst case
+    // for hash-min propagation (rounds = chain length), run through
+    // [[ConnectedComponents.runAlternating]] — the small-star/
+    // large-star variant whose round count is O(log n) regardless of
+    // diameter. The oracle exploits that the chains are per-customer
+    // by construction, so the transitive closure collapses to a
+    // min-over-customer window — the generic graph algorithm must
+    // agree with the closed form exactly.
+    QueryDef.sql(
+      "q91_order_chain_components",
+      """SELECT o_orderkey AS node,
+        |  MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS component
+        |FROM orders
+        |QUALIFY COUNT(*) OVER (PARTITION BY o_custkey) > 1
+        |ORDER BY node""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val edges = Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .withColumn("nxt", lead(col("o_orderkey"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("o_orderkey").as("a"), col("nxt").as("b"))
+      ConnectedComponents.runAlternating(edges)
+        .select(col("node"), col("label").as("component"))
+        .orderBy(col("node"))
     }
   )
 }

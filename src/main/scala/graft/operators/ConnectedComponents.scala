@@ -18,8 +18,8 @@ import org.apache.spark.sql.types.DecimalType
   * adjacency list is persisted once and reused). Rounds needed = max
   * component diameter; near-dup graphs are dense little cliques, so
   * this converges in 2-3 rounds. For web-scale graphs with long chains
-  * use the alternating small-star/large-star variant (O(log n)
-  * rounds) — same per-round plan, different propagation rule.
+  * use [[runAlternating]] — the small-star/large-star variant whose
+  * round count is O(log n) regardless of diameter.
   *
   * Determinism: min over node ids — no accumulation-order dependence.
   */
@@ -29,7 +29,13 @@ object ConnectedComponents {
     * type); returns (node, component) for every node incident to an
     * edge, component = min node id reachable.
     */
-  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 25): DataFrame =
+    runWithRounds(edges, maxIter)._1
+
+  /** [[run]] plus the number of propagation rounds executed (the
+    * scale-test observable: rounds = component diameter for hash-min).
+    */
+  def runWithRounds(edges: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
     val Seq(ca, cb) = edges.columns.toSeq.take(2)
     val sym = edges.select(col(ca).as("src"), col(cb).as("dst"))
       .unionAll(edges.select(col(cb).as("src"), col(ca).as("dst")))
@@ -78,6 +84,133 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist()
-    labels
+    (labels, iter)
+  }
+
+  /** Alternating small-star / large-star connected components — the
+    * scale path for graphs with long chains, where hash-min's
+    * rounds-=-diameter cost is the killer (a 100k-link chain would
+    * need 100k shuffles). Alternation contracts path lengths
+    * multiplicatively, converging in O(log n) rounds regardless of
+    * diameter (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — public algorithm, re-derived here as DataFrame
+    * plans).
+    *
+    * One round = large-star then small-star, each a groupBy-min plus
+    * an equi-join — two shuffles, same per-round plan shape as
+    * hash-min. The edge set only shrinks toward a star forest (every
+    * node pointing at its component min), so convergence is detected
+    * by an (edge-count, xxhash64-sum) fingerprint going stable — one
+    * tiny aggregate per round, no join-based set comparison.
+    *
+    * Same output contract as [[run]]: (node, component) for every node
+    * incident to an input edge, component = min reachable id.
+    * [[ConnectedComponentsSpec]] pins equality with [[run]] on chains,
+    * cliques, and random graphs.
+    */
+  def runAlternating(edges: DataFrame, maxIter: Int = 50): DataFrame =
+    runAlternatingWithRounds(edges, maxIter)._1
+
+  /** [[runAlternating]] plus rounds executed (expected O(log n)). */
+  def runAlternatingWithRounds(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    val Seq(ca, cb) = edges.columns.toSeq.take(2)
+    // Materialize the raw pairs ONCE before any self-union: the input
+    // is scanned a single time, and the checkpoint cuts the caller's
+    // plan constraints — self-unions over a constraint-carrying plan
+    // (e.g. an upstream filter whose column is pruned on one branch)
+    // trip UnionBase.rewriteConstraints ("key not found: <attr>").
+    val raw = edges
+      .select(col(ca).as("a"), col(cb).as("b"))
+      .localCheckpoint()
+    // NO Union operators anywhere below: a Union whose children share
+    // lineage (self-union) or sit over a checkpointed plan with
+    // preserved constraints trips Catalyst's
+    // UnionBase.rewriteConstraints ("key not found: <attr>") on
+    // real-world input plans. explode(array(struct…)) emits the same
+    // rows with identical shuffle volume and no constraint rewrite.
+
+    // All incident nodes (kept aside: the star loop drops self-loops,
+    // but a node whose only edge is a self-loop must still be labeled).
+    val nodes = raw
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .distinct()
+      .persist()
+
+    // large-star: every neighbor v > u gets pointed at
+    // min(Γ(u) ∪ {u}); processing each undirected edge from its
+    // smaller endpoint preserves connectivity while hanging big nodes
+    // under small ones.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val mins = sym.groupBy("a").agg(min("b").as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      sym.join(mins, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    // small-star: orient edges large→small, then link each node and
+    // all its smaller neighbors directly to the smallest — the
+    // path-halving step. The (u, m) self-link is emitted alongside
+    // every (v, m) row and collapsed by the distinct.
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(
+        greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      val mins = oriented.groupBy("u").agg(min("v").as("m"))
+      oriented.join(mins, "u")
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    // Set fingerprint: (count, sum(xxhash64(a,b))) — stable across a
+    // full round exactly at the star-forest fixpoint (a hash-sum
+    // collision masking a real change is negligible, and the oracle
+    // gate would catch it). Hashes are full-range 64-bit, so the sum
+    // goes through DECIMAL(38,0) — long sum would overflow under ANSI.
+    def fingerprint(e: DataFrame): (Long, BigDecimal) = {
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(
+          sum(xxhash64(col("a"), col("b")).cast(DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    }
+
+    var e = raw
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var prev = fingerprint(e)
+    var converged = prev._1 == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // localCheckpoint per round: same lineage-truncation rationale
+      // as the hash-min loop above.
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val fp = fingerprint(next)
+      converged = fp == prev
+      prev = fp
+      e = next
+      iter += 1
+    }
+    // Fixpoint is a star forest: every non-root points at its root.
+    // Roots (and self-loop-only nodes) label themselves via the
+    // left join's coalesce.
+    val stars = e.select(col("a").as("node"), col("b").as("label"))
+      .groupBy("node").agg(min("label").as("label"))
+    val labels = nodes.join(stars, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+    nodes.unpersist()
+    (labels, iter)
   }
 }
