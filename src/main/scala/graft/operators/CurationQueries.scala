@@ -262,6 +262,35 @@ object CurationQueries {
           substring(md5(concat(lit("mix:"), col("text")).cast(BinaryType)), 1, 4) < thresh)
         .select(col("doc_id"), col("lang"), rate.as("keep_rate"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q92 — context-window chunking: every document split into
+    // overlapping token windows (64 tokens, stride 48), the slicing a
+    // long-context training pipeline runs before tokenized batching.
+    // Pure map-side: tokenize → explode the window starts → slice; no
+    // shuffle of the corpus at all (the ORDER BY is presentation
+    // only), so it scales as a single pass regardless of corpus size.
+    QueryDef.sql(
+      "q92_context_chunks",
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, toks, unnest(range(1, len(toks)+1, 48)) AS st FROM t)
+        |SELECT doc_id, CAST((st-1)//48 AS INTEGER) AS chunk_idx,
+        |  CAST(least(64, len(toks)-st+1) AS INTEGER) AS chunk_tokens,
+        |  array_to_string(toks[st:least(st+63, len(toks))], ' ') AS chunk
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documentsSpread
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        .withColumn("st",
+          explode(sequence(lit(1), greatest(size(col("toks")), lit(1)), lit(48))))
+        .select(
+          col("doc_id"),
+          expr("CAST((st-1) DIV 48 AS INT)").as("chunk_idx"),
+          least(lit(64), size(col("toks")) - col("st") + 1)
+            .cast(IntegerType).as("chunk_tokens"),
+          concat_ws(" ", slice(col("toks"), col("st"), lit(64))).as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
     }
   )
 

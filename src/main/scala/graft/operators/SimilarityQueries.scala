@@ -132,6 +132,52 @@ object SimilarityQueries {
             (acc, x) => acc + x.getField("v").cast("double")) / size(col("vals")))
             .cast(FloatType).as("c"))
         .orderBy(col("cell"), col("dim"))
+    },
+
+    // ------------------------------------------------------------------
+    // q93 — int8 symmetric vector quantization (the compression step a
+    // 100 TB ANN index runs before storage: 4× smaller than float32,
+    // SIMD-friendly integer dot products). Per vector: scale =
+    // 127/max|x|, q_i = floor(x_i·scale + 0.5) clamped to ±127 —
+    // floor(·+0.5) instead of round() so both engines share one
+    // rounding rule. Output is integer-only (sum/min/max/saturation
+    // count) so the cross-engine hash is exact; reconstruction
+    // fidelity (cosine ≥ 0.999 vs float32) is pinned in
+    // SimilaritySpec. Pure map-side projection — no shuffle.
+    QueryDef.sql(
+      "q93_int8_quantize",
+      """WITH m AS (SELECT vec_id, embedding AS v,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, v,
+        |  CASE WHEN mx > 0 THEN 127.0/mx ELSE 0.0 END AS scale FROM m),
+        |z AS (SELECT vec_id, len(v) AS n_dims,
+        |  list_transform(v, x -> greatest(-127, least(127,
+        |    CAST(floor(CAST(x AS DOUBLE)*scale + 0.5) AS BIGINT)))) AS qv
+        |  FROM q)
+        |SELECT vec_id, CAST(n_dims AS INTEGER) AS n_dims,
+        |  CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+        |  CAST(list_aggregate(qv, 'min') AS BIGINT) AS q_min,
+        |  CAST(list_aggregate(qv, 'max') AS BIGINT) AS q_max,
+        |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+        |FROM z ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir).embeddings
+        .withColumn("mx",
+          array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+        .withColumn("scale",
+          when(col("mx") > 0, lit(127.0) / col("mx")).otherwise(lit(0.0)))
+        .withColumn("qv", transform(col("embedding"), x =>
+          greatest(lit(-127L), least(lit(127L),
+            floor(x.cast("double") * col("scale") + 0.5).cast("long")))))
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("n_dims"),
+          aggregate(col("qv"), lit(0L), (acc, v) => acc + v).as("q_sum"),
+          array_min(col("qv")).as("q_min"),
+          array_max(col("qv")).as("q_max"),
+          aggregate(col("qv"), lit(0L),
+            (acc, v) => acc + when(abs(v) === 127L, 1L).otherwise(0L)).as("n_sat"))
+        .orderBy(col("vec_id"))
     }
   )
 }

@@ -108,4 +108,22 @@ class SimilaritySpec extends AnyFunSuite {
     // candidates only from shared buckets → strictly fewer than all-pairs
     assert(pairs.length < 500 * 499 / 2)
   }
+
+  test("int8 quantization (q93 rule) reconstructs with cosine >= 0.999") {
+    // same quantizer as q93: scale = 127/max|x|, q = floor(x*scale+0.5)
+    val q = emb
+      .withColumn("mx", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .filter(col("mx") > 0)
+      .withColumn("scale", lit(127.0) / col("mx"))
+      .withColumn("deq", transform(col("embedding"), x =>
+        floor(x.cast("double") * col("scale") + 0.5) / col("scale")))
+      .withColumn("cos",
+        aggregate(zip_with(col("embedding"), col("deq"), (a, b) => a.cast("double") * b),
+          lit(0.0), (acc, v) => acc + v) /
+          (sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, v) => acc + v.cast("double") * v.cast("double"))) *
+            sqrt(aggregate(col("deq"), lit(0.0), (acc, v) => acc + v * v))))
+    val worst = q.agg(min(col("cos"))).head().getDouble(0)
+    assert(worst >= 0.999, s"worst reconstruction cosine $worst")
+  }
 }
