@@ -291,6 +291,31 @@ object CurationQueries {
             .cast(IntegerType).as("chunk_tokens"),
           concat_ws(" ", slice(col("toks"), col("st"), lit(64))).as("chunk"))
         .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // ------------------------------------------------------------------
+    // q94 — adjacent-pair counting: the inner step of BPE vocabulary
+    // training (the most frequent adjacent symbol pair becomes the
+    // next merge). Top-20 corpus-wide adjacent token pairs. The pair
+    // explosion re-aggregates map-side (partial hash agg) before the
+    // one shuffle, and the top-k is a TakeOrdered — no global sort.
+    QueryDef.sql(
+      "q94_bpe_pair_counts",
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t),
+        |g AS (SELECT toks[i] AS w1, toks[i+1] AS w2, COUNT(*) AS n
+        |      FROM s GROUP BY 1, 2)
+        |SELECT w1, w2, n FROM g
+        |ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables(s, dir).documentsSpread
+        .select(split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("toks"),
+          posexplode(slice(col("toks"), lit(1), size(col("toks")) - 1)).as(Seq("i", "w1")))
+        .select(col("w1"), element_at(col("toks"), col("i") + 2).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+        .limit(20)
     }
   )
 

@@ -32,4 +32,44 @@ class NearDupSpec extends AnyFunSuite {
     // identical exact Jaccard for every pair both paths found
     recalled.foreach { k => assert(lsh(k) == exhaustive(k), s"jaccard mismatch for $k") }
   }
+
+  test("incremental batch equals the full run restricted to new docs") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables(spark, dir).documentsSpread
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val newIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(newIds.nonEmpty)
+
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val full = pairSet(NearDup.indexPairs(NearDup.buildIndex(docs)))
+    val fullTouchingNew = full.filter { case ((a, b), _) =>
+      newIds.contains(a) || newIds.contains(b) }
+    assert(fullTouchingNew.nonEmpty, "batch should participate in near-dup pairs")
+
+    val index = NearDup.buildIndex(corpus)
+    val incremental = pairSet(NearDup.incrementalPairs(index, batch))
+
+    // same pairs, same exact Jaccard — the incremental path misses
+    // nothing the full rebuild finds (and can ONLY differ by LSH
+    // banding luck, which identical band construction rules out)
+    assert(incremental == fullTouchingNew)
+  }
+
+  test("mergeIndex(corpus, batch) lists the same pairs as a full rebuild") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables(spark, dir).documentsSpread
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val rebuilt = pairSet(NearDup.indexPairs(NearDup.buildIndex(docs)))
+    val merged = pairSet(NearDup.indexPairs(
+      NearDup.mergeIndex(NearDup.buildIndex(corpus), batch)))
+    assert(merged == rebuilt)
+  }
 }
