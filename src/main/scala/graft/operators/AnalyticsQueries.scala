@@ -522,6 +522,55 @@ object AnalyticsQueries {
       }
       agg0.select(col("l_returnflag") +: col("n") +: checks: _*)
         .orderBy(col("l_returnflag"))
+    },
+
+    // ------------------------------------------------------------------
+    // q95 — robust statistics: median + median absolute deviation per
+    // group, the outlier-resistant spread measure a data-quality gate
+    // uses where stddev (q37) is skew-poisoned. Two cascaded exact
+    // medians — both through the q84 rank-interpolation technique
+    // (DistributedRank, no single-task group sorts, no
+    // ObjectHashAggregate value buffering): median the prices, join
+    // the medians back (broadcast — one row per group), median the
+    // absolute deviations.
+    QueryDef.sql(
+      "q95_mad_robust",
+      """WITH m AS (
+        |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, CAST(m.med AS REAL) AS med,
+        |  CAST(quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS REAL) AS mad
+        |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+        |GROUP BY l.l_returnflag, m.med ORDER BY l.l_returnflag""".stripMargin) { (s, dir) =>
+      // interpolated p50 of `v` per l_returnflag via DistributedRank
+      def med50(df: org.apache.spark.sql.DataFrame, v: String, out: String) = {
+        val nPer = df.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        val ranked = DistributedRank.rowNumber(df,
+          Seq("l_returnflag"), Seq(v, "l_orderkey", "l_linenumber"), "rn")
+          .join(broadcast(nPer), "l_returnflag")
+        val h = (col("n") - 1).cast(DoubleType) * lit(0.5)
+        val lo = min(when(col("rn") === floor(h).cast("long") + 1, col(v)))
+        val hi = min(when(col("rn") === ceil(h).cast("long") + 1, col(v)))
+        ranked
+          .filter(col("rn") === floor(h).cast("long") + 1 ||
+            col("rn") === ceil(h).cast("long") + 1)
+          .groupBy(col("l_returnflag"))
+          .agg((lo + (max(h) - floor(max(h))) * (hi - lo)).as(out))
+      }
+      val li = Tables(s, dir).lineitem
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_orderkey"), col("l_linenumber"))
+      val meds = med50(li, "l_extendedprice", "med")
+      val devs = li.join(broadcast(meds), "l_returnflag")
+        .withColumn("dev", abs(col("l_extendedprice") - col("med")))
+        .select(col("l_returnflag"), col("dev"), col("med"),
+          col("l_orderkey"), col("l_linenumber"))
+      val mads = med50(devs, "dev", "mad")
+      meds.join(mads, "l_returnflag")
+        .select(col("l_returnflag"),
+          col("med").cast("float").as("med"),
+          col("mad").cast("float").as("mad"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

@@ -194,6 +194,10 @@ object ConnectedComponents {
     var converged = prev._1 == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
+      // ONE star pair per checkpoint/fingerprint. (Measured: composing
+      // two pairs per probe to halve the fixed costs made q91 ~30%
+      // SLOWER — the star work itself dominates, and the extra
+      // confirmation iteration then costs two rounds, not one.)
       // localCheckpoint per round: same lineage-truncation rationale
       // as the hash-min loop above.
       val next = smallStar(largeStar(e)).localCheckpoint()

@@ -108,6 +108,13 @@ object NearDup {
     * subtree would re-run the explode + 16×xxhash64-min aggregation
     * per side.
     */
+  /** Re-derive an index from a clusters table (e.g. one reloaded from
+    * disk or localCheckpointed to cut cross-batch lineage) — band keys
+    * come from the stored hashes, no text involved.
+    */
+  def indexFromClusters(clusters: DataFrame, blockCols: Seq[String]): Index =
+    Index(clusters, bandRowsOf(clusters, blockCols), blockCols)
+
   private def bandRowsOf(clusters: DataFrame, blockCols: Seq[String]): DataFrame = {
     val blocks = blockCols.map(col)
     val nHashes = bands * rowsPerBand
@@ -186,8 +193,17 @@ object NearDup {
   def incrementalPairs(
       index: Index,
       newDocs: DataFrame,
-      threshold: Double = 0.6): DataFrame = {
-    val fresh = buildIndex(newDocs, index.blockCols)
+      threshold: Double = 0.6): DataFrame =
+    incrementalPairs(index, buildIndex(newDocs, index.blockCols), threshold)
+
+  /** [[incrementalPairs]] with the batch already indexed — callers
+    * that both list pairs AND merge (the streaming service) index the
+    * batch once and share it.
+    */
+  def incrementalPairs(
+      index: Index,
+      fresh: Index,
+      threshold: Double): DataFrame = {
     val nb = fresh.bandRows
     val newVsOld = nb.select(col("band"), col("bk"), col("canon_id").as("ca"))
       .join(index.bandRows.select(col("band"), col("bk"), col("canon_id").as("cb")),
@@ -208,9 +224,12 @@ object NearDup {
     * min doc id), and band keys are re-derived from the merged
     * clusters' STORED hashes — the corpus text is never re-read.
     */
-  def mergeIndex(index: Index, newDocs: DataFrame): Index = {
+  def mergeIndex(index: Index, newDocs: DataFrame): Index =
+    mergeIndex(index, buildIndex(newDocs, index.blockCols))
+
+  /** [[mergeIndex]] with the batch already indexed. */
+  def mergeIndex(index: Index, fresh: Index): Index = {
     val blocks = index.blockCols.map(col)
-    val fresh = buildIndex(newDocs, index.blockCols)
     val merged = index.clusters.unionByName(fresh.clusters)
       .groupBy(col("fp") +: blocks: _*)
       .agg(

@@ -130,6 +130,36 @@ class PlanQualitySpec extends AnyFunSuite {
       "funnel should not need joins at all")
   }
 
+  // documentsSpread's REPARTITION_BY_NUM spreads the single-file test
+  // parquet across cores — a test-layout artifact, not an algorithmic
+  // shuffle (a real corpus scan arrives already split).
+  private def algorithmicHashExchanges(p: String): Int =
+    p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") &&
+        !l.contains("REPARTITION_BY_NUM") && !l.contains("Reused"))
+
+  test("q92/q93: chunking and quantization stay map-side (no hash shuffle, no join)") {
+    Seq("q92_context_chunks", "q93_int8_quantize").foreach { q =>
+      val p = plan(q)
+      // the only exchanges: the presentation ORDER BY's range partition
+      // (+ the test-layout repartition)
+      assert(algorithmicHashExchanges(p) == 0, s"$q shuffles:\n${p.take(1500)}")
+      assert(!p.contains("Join"), s"$q joins:\n${p.take(1500)}")
+      assert(!p.contains("HashAggregate"), s"$q aggregates:\n${p.take(1500)}")
+    }
+  }
+
+  test("q94: pair counting is one partial+final aggregate feeding a TakeOrdered top-k") {
+    val p = plan("q94_bpe_pair_counts")
+    val hashEx = algorithmicHashExchanges(p)
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"), "top-k should not global-sort")
+    // partial aggregation happens before the shuffle (map-side combine
+    // of the pair explosion)
+    val firstAgg = p.linesIterator.indexWhere(_.contains("HashAggregate"))
+    assert(firstAgg >= 0)
+  }
+
   test("no query plan contains a collect-driven loop (Exchange-only shuffles)") {
     // structural smoke over every registered query at tiny SF: the plan
     // tree must build lazily without driver-side actions
