@@ -316,6 +316,45 @@ object CurationQueries {
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("w1"), col("w2"))
         .limit(20)
+    },
+
+    // ------------------------------------------------------------------
+    // q96 — weighted sampling without replacement (Efraimidis–
+    // Spirakis): top-10 docs per language where longer documents are
+    // proportionally likelier — the weighted form of q76's mixture
+    // sampling, the primitive behind "sample training data ∝ quality
+    // score". The E-S key -ln(u)/w is computed from a DETERMINISTIC
+    // per-doc uniform (Knuth multiplicative hash of doc_id — pure
+    // integer arithmetic both engines reproduce exactly; no RNG, so
+    // the sample is stable across runs/engines and the oracle can
+    // hash-match). Score float32-cast BEFORE ranking per the
+    // determinism contract (ln() is 1-ulp engine-sensitive in
+    // double). One window per language block; rank filter pushes into
+    // WindowGroupLimit, so at scale each group streams, never sorts
+    // globally.
+    QueryDef.sql(
+      "q96_weighted_sample",
+      """WITH t AS (SELECT lang, doc_id,
+        |    CAST(greatest(len(string_split(text, ' ')), 1) AS BIGINT) AS w,
+        |    (doc_id * 2654435761) % 2147483648 AS h FROM documents),
+        |s AS (SELECT lang, doc_id, w,
+        |    CAST(-ln((h + 1.0) / 2147483648.0) / w AS REAL) AS score FROM t),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY lang ORDER BY score, doc_id) AS rk FROM s)
+        |SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id, w
+        |FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir).documentsSpread.select(
+        col("lang"), col("doc_id"),
+        greatest(size(split(col("text"), " ")), lit(1)).cast(LongType).as("w"),
+        pmod(col("doc_id") * lit(2654435761L), lit(2147483648L)).as("h"))
+      val win = Window.partitionBy(col("lang"))
+        .orderBy(col("score"), col("doc_id"))
+      t.withColumn("score",
+        (-log((col("h") + lit(1.0)) / lit(2147483648.0)) / col("w")).cast("float"))
+        .withColumn("rk", row_number().over(win).cast(IntegerType))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("rk"), col("doc_id"), col("w"))
+        .orderBy(col("lang"), col("rk"))
     }
   )
 

@@ -613,6 +613,43 @@ object TextQueries {
             (acc, x) => acc + x.getField("logp")) / size(col("lps")))
             .cast(FloatType).as("avg_logprob"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q97 — triangle counting on the near-dup graph: how CLIQUE-LIKE
+    // is each (lang, source) block's duplicate structure? (Dense
+    // triangles ⇒ template families that collapse safely to one
+    // representative; triangle-free chains ⇒ drift series that need
+    // the q77 retention policy.) Canonical doc_a < doc_b pairs make
+    // each triangle count exactly once (a<b<c by construction); two
+    // equi-joins over the (already near-dup-sparse) pair table, both
+    // blocked — the standard distributed triangle enumeration, never
+    // touching the corpus itself.
+    QueryDef.sql(
+      "q97_neardup_triangles",
+      s"""WITH pairs AS ($jaccardPairsSql),
+         |e AS (SELECT lang, source, doc_a AS a, doc_b AS b FROM pairs)
+         |SELECT e1.lang, e1.source, CAST(COUNT(*) AS BIGINT) AS triangles
+         |FROM e e1
+         |JOIN e e2 ON e1.lang = e2.lang AND e1.source = e2.source AND e1.b = e2.a
+         |JOIN e e3 ON e1.lang = e3.lang AND e1.source = e3.source
+         |  AND e1.a = e3.a AND e2.b = e3.b
+         |GROUP BY e1.lang, e1.source
+         |ORDER BY e1.lang, e1.source""".stripMargin) { (s, dir) =>
+      val e = jaccardPairs(s, dir)
+        .select(col("lang"), col("source"), col("doc_a"), col("doc_b"))
+        .persist()
+      val ab = e.select(col("lang"), col("source"),
+        col("doc_a").as("a"), col("doc_b").as("b"))
+      val bc = e.select(col("lang"), col("source"),
+        col("doc_a").as("b"), col("doc_b").as("c"))
+      val ac = e.select(col("lang"), col("source"),
+        col("doc_a").as("a"), col("doc_b").as("c"))
+      ab.join(bc, Seq("lang", "source", "b"))
+        .join(ac, Seq("lang", "source", "a", "c"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("triangles"))
+        .orderBy(col("lang"), col("source"))
     }
   )
 }

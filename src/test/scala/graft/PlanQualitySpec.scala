@@ -160,6 +160,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(firstAgg >= 0)
   }
 
+  test("q96: weighted-sample rank filter pushes into WindowGroupLimit, no UDFs") {
+    val p = plan("q96_weighted_sample")
+    // per-partition top-10 before the final per-lang window sort — at
+    // scale each language block streams, never materializes fully
+    assert(p.contains("WindowGroupLimit"), s"rank<=k not pushed down:\n${p.take(1500)}")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
+  }
+
+  test("q97: triangle enumeration joins only the sparse pair table, never the corpus") {
+    val p = plan("q97_neardup_triangles")
+    // the two equi-joins must be over the persisted pair table (cache
+    // reads), not re-derivations that re-scan documents three times
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs fallback:\n${p.take(1500)}")
+    // all three edge legs (ab/bc/ac) must be cache reads of the ONE
+    // persisted pair table — not three re-derivations from documents
+    val cacheReads = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(cacheReads >= 3, s"pair table not shared by the self-joins:\n${p.take(2000)}")
+  }
+
   test("no query plan contains a collect-driven loop (Exchange-only shuffles)") {
     // structural smoke over every registered query at tiny SF: the plan
     // tree must build lazily without driver-side actions

@@ -72,4 +72,25 @@ class NearDupSpec extends AnyFunSuite {
       NearDup.mergeIndex(NearDup.buildIndex(corpus), batch)))
     assert(merged == rebuilt)
   }
+
+  test("q97 triangle counts equal a brute-force enumeration of the pair graph") {
+    val pairs = SparkEntry.queries("q29_ngram_jaccard_pairs")(spark, dir)
+      .select("lang", "source", "doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    val expected = pairs.view.mapValues { es =>
+      // doc_a < doc_b by construction, so count a<b<c combinations
+      es.toSeq.map { case (a, b) =>
+        es.count { case (b2, c) => b2 == b && es.contains((a, c)) }.toLong
+      }.sum
+    }.filter(_._2 > 0).toMap
+
+    val got = SparkEntry.queries("q97_neardup_triangles")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    assert(expected.nonEmpty, "corpus should contain at least one triangle")
+    assert(got == expected)
+  }
 }
