@@ -78,6 +78,23 @@ object FlightIo {
     dirs.sorted.lastOption
   }
 
+  /** Storage bootstrap (`ensure_bucket_exists`, reference
+    * `main.py:57-65`): make sure the base location exists before the
+    * first write. Via the Hadoop FS API this is mkdir-p: idempotent,
+    * true for pre-existing dirs, creates all missing parents. On
+    * `file://` it is a literal mkdir -p; on `s3a://` it writes the
+    * empty-dir marker inside an EXISTING bucket — creating the bucket
+    * itself is an account-level control-plane call outside the
+    * FileSystem API (and outside any data engine's job), matching the
+    * reference which calls its object-store admin client for this.
+    * Returns true when the location exists on return.
+    */
+  def ensureBucketExists(spark: SparkSession, base: String): Boolean = {
+    val path = new Path(base)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(path) || fs.exists(path)
+  }
+
   /** `_SUCCESS` existence probe (`main.py:41-45`). */
   def successExists(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir, "_SUCCESS")

@@ -33,6 +33,14 @@ class FlightIoSpec extends AnyFunSuite {
     assert(FlightIo.newestSnapshotDir(spark, s"$tmp/nothing").isEmpty)
   }
 
+  test("ensureBucketExists is mkdir-p: creates parents, idempotent") {
+    val tmp = Files.createTempDirectory("graft-bucket").toString
+    val base = s"$tmp/lake/flights/bronze"
+    assert(FlightIo.ensureBucketExists(spark, base))
+    assert(Files.isDirectory(java.nio.file.Paths.get(base)))
+    assert(FlightIo.ensureBucketExists(spark, base)) // already there
+  }
+
   test("pipeline run: bronze→silver→gold on a fake source, queryable gold") {
     val tmp = Files.createTempDirectory("graft-pipe").toString
     val src = new FlightSource {
