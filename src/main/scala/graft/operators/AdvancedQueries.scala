@@ -396,6 +396,115 @@ object AdvancedQueries {
       ConnectedComponents.runAlternating(edges)
         .select(col("node"), col("label").as("component"))
         .orderBy(col("node"))
+    },
+
+    // ------------------------------------------------------------------
+    // q101 — FIXED-POINT integer PageRank (5 rounds, damping 0.85) on
+    // the symmetric order-chain graph of q91. Rank mass is a scaled
+    // long (10^12 = one unit of rank), every division is integer
+    // division, so each round is EXACTLY reproducible: long sums are
+    // order-independent where double PageRank is partition-order
+    // noise in the last ulp — this is how an iterative graph metric
+    // becomes hash-checkable across engines (the oracle unrolls the
+    // same five rounds as CTEs). Per round: one equi-join of ranks
+    // with degrees (co-partitioned on node), one join onto edge
+    // sources, one partial-aggregated sum onto destinations — two
+    // hash-partitioned shuffles, no broadcast of anything
+    // node-count-sized, so the round cost is linear in |E| at any
+    // scale. Edges and degrees persist across rounds; for deep
+    // iteration counts add localCheckpoint every ~10 rounds to
+    // truncate lineage (the q69 components discipline).
+    QueryDef.sql(
+      "q101_pagerank_orders",
+      {
+        val iters = (1 to 5).map { k =>
+          s"""it$k AS (SELECT e.b AS node,
+             |  CAST((15000000000000 + 85 * SUM(p.v // d.d)) // 100 AS BIGINT) AS v
+             |  FROM it${k - 1} p JOIN deg d USING (node) JOIN e ON e.a = p.node
+             |  GROUP BY e.b)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH w AS (SELECT o_orderkey, o_custkey, lead(o_orderkey) OVER (
+           |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS nxt
+           |  FROM orders),
+           |e0 AS (SELECT o_orderkey AS a, nxt AS b FROM w WHERE nxt IS NOT NULL),
+           |e AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+           |deg AS (SELECT a AS node, COUNT(*) AS d FROM e GROUP BY a),
+           |it0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS v FROM deg),
+           |$iters
+           |SELECT node, v AS rank_fp FROM it5 ORDER BY node""".stripMargin
+      }) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val fwd = Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .withColumn("nxt", lead(col("o_orderkey"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("o_orderkey").as("a"), col("nxt").as("b"))
+      val e = fwd.union(fwd.select(col("b").as("a"), col("a").as("b"))).persist()
+      val deg = e.groupBy(col("a").as("node")).agg(count(lit(1)).as("d")).persist()
+      var v = deg.select(col("node"), lit(1000000000000L).as("v"))
+      for (_ <- 1 to 5) {
+        v = v.join(deg, "node")
+          .select(col("node"), expr("v div d").as("contrib"))
+          .join(e, col("node") === col("a"))
+          .groupBy(col("b"))
+          .agg(sum(col("contrib")).as("s"))
+          .select(col("b").as("node"),
+            expr("(15000000000000L + 85L * s) div 100").as("v"))
+      }
+      v.select(col("node"), col("v").as("rank_fp")).orderBy(col("node"))
+    },
+
+    // ------------------------------------------------------------------
+    // q102 — semantic dedup (SemDeDup, Abbas et al. 2023): cluster the
+    // embedding space (the q54 IVF assignment), then keep ONE
+    // representative of every within-cell group of near-identical
+    // vectors (cos ≥ 0.35, keep-lowest-id — the paper's
+    // keep-one-per-duplicate-set rule made deterministic). The
+    // pairwise cosine runs ONLY within a cell — the whole point of
+    // clustering first: per-cell cost is |cell|², and at scale k grows
+    // with n to hold |cell| ≈ constant, so total work stays ~linear
+    // while the join is a plain equi-join on cell. Cosines float32-
+    // cast before comparison (the q30/q31 contract), so kept/removed
+    // decisions — and the oracle hash — are engine-exact.
+    QueryDef.sql(
+      "q102_semdedup",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |asg AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid AS cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${SimilarityQueries.cosSql("e.embedding", "c.cv")} DESC, c.cid) AS arn
+         |    FROM embeddings e CROSS JOIN c) WHERE arn = 1),
+         |removed AS (
+         |  SELECT DISTINCT a.vec_id FROM asg a JOIN asg b
+         |    ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |  WHERE ${SimilarityQueries.cosSql("a.embedding", "b.embedding")} >= 0.35)
+         |SELECT asg.vec_id, CAST(asg.cell AS BIGINT) AS cell,
+         |  r.vec_id IS NULL AS kept
+         |FROM asg LEFT JOIN removed r ON asg.vec_id = r.vec_id
+         |ORDER BY asg.vec_id""".stripMargin) { (s, dir) =>
+      import graft.functions.VectorFunctions
+      val asg = SimilarityOps.ivfAssign(Tables(s, dir).embeddings, 16)
+        .withColumn("nsq", VectorFunctions.normSq(col("embedding")))
+        .persist()
+      val a = asg.select(col("cell"), col("vec_id"),
+        col("embedding").as("va"), col("nsq").as("ansq"))
+      val b = asg.select(col("cell"), col("vec_id").as("bid"),
+        col("embedding").as("vb"), col("nsq").as("bnsq"))
+      val removed = a.join(b, "cell")
+        .filter(col("bid") < col("vec_id"))
+        .withColumn("cos",
+          (VectorFunctions.dot(col("va"), col("vb"))
+            / sqrt(col("ansq") * col("bnsq"))).cast("float"))
+        .filter(col("cos") >= 0.35)
+        .select(col("vec_id")).distinct()
+        .withColumn("dup", lit(true))
+      asg.select(col("vec_id"), col("cell"))
+        .join(removed, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("dup").isNull.as("kept"))
+        .orderBy(col("vec_id"))
     }
   )
 }

@@ -355,6 +355,53 @@ object CurationQueries {
         .filter(col("rk") <= 10)
         .select(col("lang"), col("rk"), col("doc_id"), col("w"))
         .orderBy(col("lang"), col("rk"))
+    },
+
+    // ------------------------------------------------------------------
+    // q99 — decontamination at scale: the bloom semi-join form of q72.
+    // The eval set's distinct 8-grams build ONE driver-side bloom
+    // filter (public `df.stat.bloomFilter` sketch — a distributed
+    // aggregate, never a collect of the grams), broadcast once per
+    // executor; the corpus's gram stream probes it MAP-SIDE via the
+    // codegen'd [[graft.functions.BloomMightContain]] predicate, so at
+    // 100 TB virtually every clean gram dies before the shuffle — the
+    // exact-verify join then sees only candidates (where the ~1% false
+    // positives die too, keeping the output EXACT: it hash-matches the
+    // plain-SQL oracle, which has no bloom at all). Different eval
+    // split than q72 (doc_id % 7) so both decontamination forms stay
+    // independently driver-checked.
+    QueryDef.sql(
+      "q99_bloom_decontam",
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(tk)-6,1)),
+        |    i -> array_to_string(list_slice(tk, i, i+7), ' ')))) AS s FROM toks),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 7 = 0),
+        |hits AS (SELECT sh.doc_id, COUNT(*) AS shared FROM sh JOIN ev USING (s)
+        |         WHERE sh.doc_id % 7 <> 0 GROUP BY sh.doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(h.shared,0) AS INTEGER) AS shared_ngrams,
+        |       COALESCE(h.shared,0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 7 <> 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir).documentsSpread
+      val evalGrams = shingleRows(d, col("doc_id") % 7 === 0)
+        .select(col("s")).distinct()
+      // sized for the corpus ceiling, not the observed count (a count
+      // job would double-scan the eval side); ~1.2 MB at 1M/1% — noise
+      // next to a broadcast join side
+      val bloom = evalGrams.stat.bloomFilter("s", 1 << 20, 0.01)
+      val bc = s.sparkContext.broadcast(bloom)
+      val candidates = shingleRows(d, col("doc_id") % 7 =!= 0)
+        .filter(graft.functions.BloomMightContain(col("s"), bc))
+      val hits = candidates.join(evalGrams, "s")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast(IntegerType).as("shared"))
+      d.filter(col("doc_id") % 7 =!= 0).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("shared"), lit(0)).as("shared_ngrams"),
+          (coalesce(col("shared"), lit(0)) > 0).as("contaminated"))
+        .orderBy(col("doc_id"))
     }
   )
 

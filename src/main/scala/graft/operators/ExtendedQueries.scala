@@ -274,6 +274,41 @@ object ExtendedQueries {
         .unionByName(profile("l_returnflag"))
         .unionByName(profile("l_shipdate"))
         .orderBy(col("column_name"))
+    },
+
+    // ------------------------------------------------------------------
+    // q98 — fuzzy entity resolution on the part-name catalog: the
+    // record-linkage primitive (matching "cold anvil" ↔ "old anvil"
+    // style name drift) as blocked pairwise edit distance. Shape for
+    // scale: (1) resolve on the DISTINCT name catalog, never the fact
+    // rows — names dedup by orders of magnitude first; (2) candidate
+    // pairs come from a BLOCKING equi-join (here the head noun; in
+    // production a normalized key / phonetic code / length bucket),
+    // never an all-pairs cross join; (3) the edit distance only runs
+    // within blocks, and Spark's `levenshtein` is codegen'd. Both
+    // engines implement classic unit-cost Levenshtein, so the oracle
+    // hash-matches exactly.
+    QueryDef.sql(
+      "q98_fuzzy_entity_match",
+      """WITH n AS (SELECT p_name, COUNT(*) AS n_rows FROM part GROUP BY p_name),
+        |k AS (SELECT p_name, n_rows, string_split(p_name, ' ')[-1] AS blk FROM n)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+        |  CAST(a.n_rows AS BIGINT) AS rows_a, CAST(b.n_rows AS BIGINT) AS rows_b
+        |FROM k a JOIN k b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin) { (s, dir) =>
+      val n = Tables(s, dir).part
+        .groupBy(col("p_name")).agg(count(lit(1)).as("n_rows"))
+        .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      val a = n.select(col("blk"), col("p_name").as("name_a"), col("n_rows").as("rows_a"))
+      val b = n.select(col("blk"), col("p_name").as("name_b"), col("n_rows").as("rows_b"))
+      a.join(b, "blk")
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast(IntegerType))
+        .filter(col("dist") <= 2)
+        .select(col("name_a"), col("name_b"), col("dist"), col("rows_a"), col("rows_b"))
+        .orderBy(col("name_a"), col("name_b"))
     }
   )
 }

@@ -650,6 +650,59 @@ object TextQueries {
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("triangles"))
         .orderBy(col("lang"), col("source"))
+    },
+
+    // ------------------------------------------------------------------
+    // q100 — duplicated-span detection (the token-level dedup of
+    // Lee et al.'s "Deduplicating Training Data Makes Language Models
+    // Better": repeated ≥W-token spans are memorization fuel even when
+    // whole documents are unique). W=8 here (the synthetic docs are
+    // ~50 tokens; 50 in the paper). Every token position opens one
+    // rolling window, each window collapses to one md5, a window is
+    // "duplicated" when its hash occurs ≥2 times corpus-wide, and a
+    // doc's dup_tokens = size of the UNION of its duplicated windows
+    // (overlaps counted once, via the position explode + distinct —
+    // W is a constant, so the explode is a bounded ×8, and the
+    // interval-merge alternative is only worth it for W≥50).
+    // Scale: the window stream re-aggregates on the hash with map-side
+    // combine (shuffle carries one row per distinct window), the
+    // dup-filter join is an equi-join on a uniform 128-bit key, and
+    // nothing ever materializes all-pairs. The q99-style bloom
+    // prefilter composes here when the dup set is sparse.
+    QueryDef.sql(
+      "q100_span_dedup",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, i, md5(array_to_string(tk[i:i+7], ' ')) AS h
+        |      FROM (SELECT doc_id, tk,
+        |              unnest(range(1, greatest(len(tk)-6, 1))) AS i FROM t)),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, p FROM
+        |        (SELECT doc_id, unnest(range(i, i+8)) AS p FROM g JOIN dup USING (h))),
+        |cn AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(tk) AS INTEGER) AS n_tokens,
+        |  CAST(COALESCE(cn.dup_tokens, 0) AS INTEGER) AS dup_tokens,
+        |  CAST(CAST(COALESCE(cn.dup_tokens, 0) AS DOUBLE) / len(tk) AS REAL) AS dup_frac
+        |FROM t LEFT JOIN cn USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir).documentsSpread
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      val g = t.filter(size(col("tk")) >= 8)
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(1), size(col("tk")) - 7)).as("i"))
+        .select(col("doc_id"), col("i"),
+          md5(concat_ws(" ", slice(col("tk"), col("i"), lit(8))).cast(BinaryType)).as("h"))
+      val dup = g.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("h"))
+      val cn = g.join(dup, "h")
+        .select(col("doc_id"), explode(sequence(col("i"), col("i") + 7)).as("p"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_tokens"))
+      t.select(col("doc_id"), size(col("tk")).as("n_tokens"))
+        .join(cn, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("dup_tokens"), lit(0L)).cast(IntegerType).as("dup_tokens"),
+          (coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType) / col("n_tokens"))
+            .cast(FloatType).as("dup_frac"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -59,6 +59,37 @@ class CodegenPredicateSpec extends AnyFunSuite {
     assert(!pred.eval(miss))
   }
 
+  test("BloomMightContain compiles as a generated predicate; one-sided error holds") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    (0 until 100).foreach(i => bloom.putString(s"member-$i"))
+    val bc = spark.sparkContext.broadcast(bloom)
+    val expr = BloomMightContain(
+      BoundReference(0, StringType, nullable = false), bc)
+    val pred = GeneratePredicate.generate(expr) // throws on codegen failure
+    pred.initialize(0)
+    // no false negatives, ever
+    (0 until 100).foreach { i =>
+      assert(pred.eval(InternalRow(UTF8String.fromString(s"member-$i"))))
+    }
+    // fpp 1% on 10k non-members: a handful may pass, most must not
+    val fp = (0 until 10000).count(i =>
+      pred.eval(InternalRow(UTF8String.fromString(s"absent-$i"))))
+    assert(fp < 300, s"false-positive count $fp way above the 1% design point")
+  }
+
+  test("bloom prefilter + exact verify equals the exact semi-join") {
+    import spark.implicits._
+    val corpus = (0 until 500).map(i => (i.toLong, s"gram-${i % 50}")).toDF("id", "s")
+    val evalSet = Seq("gram-3", "gram-7", "gram-11").toDF("s")
+    val bloom = evalSet.stat.bloomFilter("s", 1000, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val viaBloom = corpus.filter(BloomMightContain(col("s"), bc))
+      .join(evalSet, "s").select("id").as[Long].collect().sorted
+    val exact = corpus.join(evalSet, "s").select("id").as[Long].collect().sorted
+    assert(viaBloom.sameElements(exact))
+  }
+
   test("Float32Dot in a nested-loop join condition produces correct pairs end-to-end") {
     import spark.implicits._
     // 3 unit-ish vectors; only (a,b) alignments above the threshold survive.
