@@ -441,19 +441,9 @@ object AdvancedQueries {
         .withColumn("nxt", lead(col("o_orderkey"), 1).over(w))
         .filter(col("nxt").isNotNull)
         .select(col("o_orderkey").as("a"), col("nxt").as("b"))
-      val e = fwd.union(fwd.select(col("b").as("a"), col("a").as("b"))).persist()
-      val deg = e.groupBy(col("a").as("node")).agg(count(lit(1)).as("d")).persist()
-      var v = deg.select(col("node"), lit(1000000000000L).as("v"))
-      for (_ <- 1 to 5) {
-        v = v.join(deg, "node")
-          .select(col("node"), expr("v div d").as("contrib"))
-          .join(e, col("node") === col("a"))
-          .groupBy(col("b"))
-          .agg(sum(col("contrib")).as("s"))
-          .select(col("b").as("node"),
-            expr("(15000000000000L + 85L * s) div 100").as("v"))
-      }
-      v.select(col("node"), col("v").as("rank_fp")).orderBy(col("node"))
+      val e = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+      PageRank.fixedPoint(e, iters = 5)
+        .select(col("node"), col("v").as("rank_fp")).orderBy(col("node"))
     },
 
     // ------------------------------------------------------------------

@@ -89,6 +89,31 @@ object TextQueries {
       .filter(col("jaccard") >= 0.6)
   }
 
+  /** q27's LSH candidate plan, shared with the q103 scale-path
+    * retention. Persist the signature: the band self-join scans it
+    * from cache instead of re-running the shingle/hash aggregation
+    * per side. Band key = concat of two fixed-width slices, so one
+    * equi-join over (band, key) replaces two separate band joins.
+    */
+  private[operators] def lshCandidates(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val sig = minhashSig(s, dir).persist()
+    val bands = sig.select(col("doc_id"), lit(1).as("band"), concat(col("mh1"), col("mh2")).as("bk"))
+      .unionAll(sig.select(col("doc_id"), lit(2).as("band"), concat(col("mh3"), col("mh4")).as("bk")))
+    val a = bands.select(col("band"), col("bk"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("bk"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "bk")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** DuckDB mirror of [[lshCandidates]] (expects a `sig` CTE in scope). */
+  private def lshCandSql: String =
+    """SELECT doc_a, doc_b FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
+      |    ON a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.doc_id < b.doc_id
+      |  UNION
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
+      |    ON a.mh3 = b.mh3 AND a.mh4 = b.mh4 AND a.doc_id < b.doc_id)""".stripMargin
+
   /** DuckDB mirror of [[jaccardPairs]] (no ORDER BY). */
   private val jaccardPairsSql =
     """WITH g AS (
@@ -228,25 +253,9 @@ object TextQueries {
     QueryDef.sql(
       "q27_lsh_candidates",
       s"""WITH sig AS ($sigSql)
-         |SELECT doc_a, doc_b FROM (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
-         |    ON a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.doc_id < b.doc_id
-         |  UNION
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
-         |    ON a.mh3 = b.mh3 AND a.mh4 = b.mh4 AND a.doc_id < b.doc_id)
+         |$lshCandSql
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      // Persist the signature: the band self-join scans it from cache
-      // instead of re-running the shingle/hash aggregation per side.
-      // Band key = concat of two fixed-width slices, so one equi-join
-      // over (band, key) replaces two separate band joins.
-      val sig = minhashSig(s, dir).persist()
-      val bands = sig.select(col("doc_id"), lit(1).as("band"), concat(col("mh1"), col("mh2")).as("bk"))
-        .unionAll(sig.select(col("doc_id"), lit(2).as("band"), concat(col("mh3"), col("mh4")).as("bk")))
-      val a = bands.select(col("band"), col("bk"), col("doc_id").as("doc_a"))
-      val b = bands.select(col("band"), col("bk"), col("doc_id").as("doc_b"))
-      a.join(b, Seq("band", "bk")).filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-        .orderBy(col("doc_a"), col("doc_b"))
+      lshCandidates(s, dir).orderBy(col("doc_a"), col("doc_b"))
     },
 
     // ------------------------------------------------------------------
@@ -702,6 +711,73 @@ object TextQueries {
           coalesce(col("dup_tokens"), lit(0L)).cast(IntegerType).as("dup_tokens"),
           (coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType) / col("n_tokens"))
             .cast(FloatType).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q103 — retention on the SCALE path: q77's keep-best-per-cluster
+    // policy rerun over LSH-BANDED candidates (the q27 plan) verified
+    // by exact Jaccard ONLY on candidates — the composition a 100 TB
+    // dedup actually ships (band finds, verify confirms, components
+    // cluster, policy retains; never the all-pairs enumeration q77
+    // uses as ground truth). Every stage is deterministic, so the
+    // whole APPROXIMATE pipeline is oracle-expressible end-to-end:
+    // both engines compute identical bands → candidates → verified
+    // pairs → clusters → keeps, and the hash certifies the
+    // approximation itself, not just its pieces.
+    QueryDef.sql(
+      "q103_retention_lsh",
+      s"""WITH RECURSIVE sig AS ($sigSql),
+         |cand AS ($lshCandSql),
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(range(1, greatest(length(text)-1, 1)),
+         |      i -> substr(text, i, 3)))) AS gram
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS overlap
+         |  FROM cand c JOIN g a ON a.doc_id = c.doc_a
+         |  JOIN g b ON b.doc_id = c.doc_b AND b.gram = a.gram
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(overlap AS DOUBLE) / (sa.sz + sb.sz - overlap) >= 0.6),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, label) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+         |  UNION
+         |  SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node),
+         |comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+         |scored AS (SELECT doc_id,
+         |  (CAST(least(len(string_split(text,' ')), 100) AS DOUBLE) / 100)
+         |    * (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+         |       / len(string_split(text,' '))) AS quality
+         |FROM documents),
+         |wc AS (SELECT s.doc_id, COALESCE(c.component, s.doc_id) AS component, s.quality
+         |       FROM scored s LEFT JOIN comp c ON c.node = s.doc_id)
+         |SELECT doc_id, component, quality,
+         |  CAST(CASE WHEN ROW_NUMBER() OVER (
+         |    PARTITION BY component ORDER BY quality DESC, doc_id) = 1
+         |    THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM wc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documentsSpread
+      val g = docs.select(col("doc_id"),
+        graft.functions.CharNgramHashesSorted(col("text"), 3).as("hs"))
+      val pairs = lshCandidates(s, dir)
+        .join(g.select(col("doc_id").as("doc_a"), col("hs").as("ga")), "doc_a")
+        .join(g.select(col("doc_id").as("doc_b"), col("hs").as("gb")), "doc_b")
+        .withColumn("overlap",
+          graft.functions.SortedLongIntersectCount(col("ga"), col("gb")))
+        .withColumn("jaccard",
+          col("overlap").cast(DoubleType)
+            / (size(col("ga")) + size(col("gb")) - col("overlap")))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("doc_a"), col("doc_b"))
+      val scored = docs.select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      Retention.retainBest(pairs, scored, "doc_id", "quality")
         .orderBy(col("doc_id"))
     }
   )

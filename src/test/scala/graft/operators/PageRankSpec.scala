@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixed-point PageRank invariants: exact hand-checked arithmetic on a
+  * tiny graph (the determinism IS the feature — any engine change that
+  * shifts a single integer division breaks these), mass conservation
+  * up to the defined truncation leak, and checkpoint-invariance.
+  */
+class PageRankSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def sym(pairs: (Long, Long)*): DataFrame = {
+    import spark.implicits._
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("a", "b")
+  }
+
+  private def ranks(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("one round on the symmetric 3-path matches hand arithmetic") {
+    // deg: 1→1, 2→2, 3→1; contribs: 1 and 3 send 1.0, 2 sends 0.5 each way
+    // v(1) = v(3) = (15e12 + 85·0.5e12) div 100 = 0.575 units
+    // v(2) = (15e12 + 85·2e12)  div 100 = 1.85 units
+    val r = ranks(PageRank.fixedPoint(sym((1L, 2L), (2L, 3L)), 1))
+    assert(r == Map(1L -> 575000000000L, 2L -> 1850000000000L, 3L -> 575000000000L))
+  }
+
+  test("mass conserved up to the truncation leak; hub outranks leaves") {
+    val star = sym((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L))
+    val r = ranks(PageRank.fixedPoint(star, 10))
+    val total = r.values.sum
+    assert(total <= 6 * PageRank.Unit0)
+    assert(total > 6 * PageRank.Unit0 - 10L * 6 * 200) // ≤ ~200 lost per node-round
+    assert(r(0L) > r(1L))
+    assert((1L to 5L).map(r).toSet.size == 1) // leaves tie exactly
+  }
+
+  test("lineage checkpointing does not change a single bit") {
+    val g = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L))
+    val a = ranks(PageRank.fixedPoint(g, 12, checkpointEvery = 5))
+    val b = ranks(PageRank.fixedPoint(g, 12, checkpointEvery = 100))
+    assert(a == b)
+  }
+}
