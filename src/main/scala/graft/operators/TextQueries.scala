@@ -89,6 +89,36 @@ object TextQueries {
       .filter(col("jaccard") >= 0.6)
   }
 
+  /** Distinct (doc_id, p) token positions covered by a DUPLICATED
+    * 8-token window (one that occurs ≥2 times corpus-wide) — the
+    * detection core shared by q100 (measure) and q104 (strip).
+    * `t` is (doc_id, tk: array<string>).
+    */
+  private def dupSpanPositions(t: org.apache.spark.sql.DataFrame) = {
+    val g = t.filter(size(col("tk")) >= 8)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1), size(col("tk")) - 7)).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(concat_ws(" ", slice(col("tk"), col("i"), lit(8))).cast(BinaryType)).as("h"))
+    val dup = g.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    g.join(dup, "h")
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + 7)).as("p"))
+      .distinct()
+  }
+
+  /** DuckDB mirror of [[dupSpanPositions]] as CTE text ending in
+    * `cov(doc_id, p)` (expects `documents` in scope).
+    */
+  private val dupSpanCovSql =
+    """t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      |g AS (SELECT doc_id, i, md5(array_to_string(tk[i:i+7], ' ')) AS h
+      |      FROM (SELECT doc_id, tk,
+      |              unnest(range(1, greatest(len(tk)-6, 1))) AS i FROM t)),
+      |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+      |cov AS (SELECT DISTINCT doc_id, p FROM
+      |        (SELECT doc_id, unnest(range(i, i+8)) AS p FROM g JOIN dup USING (h)))""".stripMargin
+
   /** q27's LSH candidate plan, shared with the q103 scale-path
     * retention. Persist the signature: the band self-join scans it
     * from cache instead of re-running the shingle/hash aggregation
@@ -680,30 +710,15 @@ object TextQueries {
     // prefilter composes here when the dup set is sparse.
     QueryDef.sql(
       "q100_span_dedup",
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
-        |g AS (SELECT doc_id, i, md5(array_to_string(tk[i:i+7], ' ')) AS h
-        |      FROM (SELECT doc_id, tk,
-        |              unnest(range(1, greatest(len(tk)-6, 1))) AS i FROM t)),
-        |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
-        |cov AS (SELECT DISTINCT doc_id, p FROM
-        |        (SELECT doc_id, unnest(range(i, i+8)) AS p FROM g JOIN dup USING (h))),
-        |cn AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM cov GROUP BY doc_id)
-        |SELECT t.doc_id, CAST(len(tk) AS INTEGER) AS n_tokens,
-        |  CAST(COALESCE(cn.dup_tokens, 0) AS INTEGER) AS dup_tokens,
-        |  CAST(CAST(COALESCE(cn.dup_tokens, 0) AS DOUBLE) / len(tk) AS REAL) AS dup_frac
-        |FROM t LEFT JOIN cn USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      s"""WITH $dupSpanCovSql,
+         |cn AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM cov GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(tk) AS INTEGER) AS n_tokens,
+         |  CAST(COALESCE(cn.dup_tokens, 0) AS INTEGER) AS dup_tokens,
+         |  CAST(CAST(COALESCE(cn.dup_tokens, 0) AS DOUBLE) / len(tk) AS REAL) AS dup_frac
+         |FROM t LEFT JOIN cn USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir).documentsSpread
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      val g = t.filter(size(col("tk")) >= 8)
-        .select(col("doc_id"), col("tk"),
-          explode(sequence(lit(1), size(col("tk")) - 7)).as("i"))
-        .select(col("doc_id"), col("i"),
-          md5(concat_ws(" ", slice(col("tk"), col("i"), lit(8))).cast(BinaryType)).as("h"))
-      val dup = g.groupBy(col("h")).agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2).select(col("h"))
-      val cn = g.join(dup, "h")
-        .select(col("doc_id"), explode(sequence(col("i"), col("i") + 7)).as("p"))
-        .distinct()
+      val cn = dupSpanPositions(t)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_tokens"))
       t.select(col("doc_id"), size(col("tk")).as("n_tokens"))
         .join(cn, Seq("doc_id"), "left")
@@ -778,6 +793,37 @@ object TextQueries {
         .select(col("doc_a"), col("doc_b"))
       val scored = docs.select(col("doc_id"), qualityScore(col("text")).as("quality"))
       Retention.retainBest(pairs, scored, "doc_id", "quality")
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q104 — span STRIP: the action to q100's detection — rewrite every
+    // document with its duplicated 8-token spans removed (what the
+    // token-level dedup pass actually emits for training). The covered
+    // position set joins back per doc as an array and a higher-order
+    // filter keeps uncovered tokens IN ORDER — position arithmetic
+    // stays inside whole-stage codegen, the corpus is never exploded a
+    // second time, and docs with no duplicated spans pass through
+    // byte-identical. n_removed is q100's dup_tokens by construction.
+    QueryDef.sql(
+      "q104_span_strip",
+      s"""WITH $dupSpanCovSql,
+         |cl AS (SELECT doc_id, list(p) AS ps FROM cov GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  COALESCE(array_to_string(list_filter(tk, (x, i) ->
+         |    NOT list_contains(COALESCE(ps, []), i)), ' '), '') AS cleaned,
+         |  CAST(COALESCE(len(ps), 0) AS INTEGER) AS n_removed
+         |FROM t LEFT JOIN cl USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir).documentsSpread
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      val cl = dupSpanPositions(t)
+        .groupBy(col("doc_id")).agg(collect_list(col("p")).as("ps"))
+      t.join(cl, Seq("doc_id"), "left")
+        .withColumn("ps2", coalesce(col("ps"), expr("array()").cast("array<int>")))
+        .select(col("doc_id"),
+          concat_ws(" ", filter(col("tk"),
+            (x, i) => !array_contains(col("ps2"), i + 1))).as("cleaned"),
+          coalesce(size(col("ps")), lit(0)).cast(IntegerType).as("n_removed"))
         .orderBy(col("doc_id"))
     }
   )
