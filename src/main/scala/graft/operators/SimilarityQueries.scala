@@ -178,6 +178,137 @@ object SimilarityQueries {
           aggregate(col("qv"), lit(0L),
             (acc, v) => acc + when(abs(v) === 127L, 1L).otherwise(0L)).as("n_sat"))
         .orderBy(col("vec_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q105 — product-quantization ENCODE (the IVF-PQ memory layout:
+    // 64 dims → 8 subspaces × 1 byte, a 32× compression of float32).
+    // Codebook per subspace = the 16 lowest-id vectors' sub-vectors
+    // (the same deterministic stand-in as ivfCentroids — a k-means
+    // refinement would polish, not change, the structure); every
+    // vector's subspace slice snaps to its nearest code by squared L2
+    // (float32-subtract, float32-square widened to double, summed
+    // left-to-right — the proven q30/q31 arithmetic contract — final
+    // float32 cast, ties to the lower code id). Long format (vec_id,
+    // m, code, dist): the argmin window partitions by (vector,
+    // subspace) — 16-row groups, perfectly parallel. The codebook side
+    // is 128 tiny rows — broadcast; the corpus is scanned once.
+    QueryDef.sql(
+      "q105_pq_encode",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |sub AS (SELECT unnest(range(0, 8)) AS m),
+         |ev AS (SELECT vec_id, m, embedding[m*8+1 : m*8+8] AS es
+         |       FROM embeddings CROSS JOIN sub),
+         |cs AS (SELECT cid, m, cv[m*8+1 : m*8+8] AS csub FROM c CROSS JOIN sub),
+         |d AS (SELECT ev.vec_id, ev.m, cs.cid,
+         |  CAST(list_sum(list_transform(range(1, 9),
+         |    j -> CAST((es[j]-csub[j])*(es[j]-csub[j]) AS DOUBLE))) AS REAL) AS dist
+         |  FROM ev JOIN cs USING (m))
+         |SELECT vec_id, CAST(m AS INTEGER) AS m, cid AS code, dist FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |    ORDER BY dist, cid) AS rn FROM d)
+         |WHERE rn = 1 ORDER BY vec_id, m""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val d = pqSubDistances(e, e.filter(col("vec_id") < 16))
+      val w = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("dist"), col("cid"))
+      d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("m").cast("int").as("m"),
+          col("cid").as("code"), col("dist"))
+        .orderBy(col("vec_id"), col("m"))
+    },
+
+    // ------------------------------------------------------------------
+    // q106 — PQ ADC search (asymmetric distance computation): each
+    // query builds a tiny distance TABLE (8 subspaces × 16 codes =
+    // 128 floats) against the codebook; every corpus vector's
+    // approximate distance is then 8 table LOOKUPS summed — the scan
+    // never touches the original floats, which is the entire point of
+    // PQ at scale (the compressed corpus fits where the float corpus
+    // cannot). The per-(query, vector) sum is a FIXED-ORDER addition
+    // chain over the 8 subspace cells (conditional-aggregation
+    // pivots, not SUM — float addition stays order-deterministic),
+    // so top-5-by-distance hash-matches across engines. Joins: codes
+    // ⋈ distance-table on (m, code) — the table side is |Q|×128 rows,
+    // broadcastable at any corpus size.
+    QueryDef.sql(
+      "q106_pq_search",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |sub AS (SELECT unnest(range(0, 8)) AS m),
+         |ev AS (SELECT vec_id, m, embedding[m*8+1 : m*8+8] AS es
+         |       FROM embeddings CROSS JOIN sub),
+         |cs AS (SELECT cid, m, cv[m*8+1 : m*8+8] AS csub FROM c CROSS JOIN sub),
+         |d AS (SELECT ev.vec_id, ev.m, cs.cid,
+         |  CAST(list_sum(list_transform(range(1, 9),
+         |    j -> CAST((es[j]-csub[j])*(es[j]-csub[j]) AS DOUBLE))) AS REAL) AS dist
+         |  FROM ev JOIN cs USING (m)),
+         |codes AS (SELECT vec_id, m, cid AS code FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |    ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
+         |qd AS (SELECT vec_id AS qid, m, cid, dist FROM d WHERE vec_id % 100 = 0),
+         |a AS (SELECT qd.qid, x.vec_id AS nid,
+         |  ${(0 to 7).map(m => s"MAX(CASE WHEN qd.m = $m THEN CAST(qd.dist AS DOUBLE) END)").mkString("\n         |  + ")} AS adist
+         |  FROM codes x JOIN qd ON qd.m = x.m AND qd.cid = x.code
+         |  WHERE x.vec_id <> qd.qid
+         |  GROUP BY qd.qid, x.vec_id)
+         |SELECT qid, nid, CAST(adist AS REAL) AS adist, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY CAST(adist AS REAL), nid) AS rn FROM a)
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val codebook = e.filter(col("vec_id") < 16)
+      val d = pqSubDistances(e, codebook).persist()
+      val w0 = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("dist"), col("cid"))
+      val codes = d.withColumn("rn", row_number().over(w0))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("cid").as("code"))
+      val qd = d.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("m").as("qm"),
+          col("cid").as("qcid"), col("dist"))
+      val adist = (0 to 7).map(m =>
+          max(when(col("qm") === m, col("dist").cast("double"))))
+        .reduce(_ + _)
+      val a = codes.join(broadcast(qd),
+          col("qm") === col("m") && col("qcid") === col("code"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id").as("nid"))
+        .agg(adist.as("adist"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("adist").cast(FloatType), col("nid"))
+      a.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("qid"), col("nid"),
+          col("adist").cast(FloatType).as("adist"),
+          col("rn").cast("int").as("rn"))
+        .orderBy(col("qid"), col("rn"))
     }
   )
+
+  /** Per-(vector, subspace, code) squared-L2 distances between
+    * `vectors` and `codebook` sub-slices — the shared core of the PQ
+    * encode (q105) and ADC search (q106). 8 subspaces × 8 dims over
+    * 64-dim float32 embeddings; float32 subtract and square widened
+    * to double, summed left-to-right, final float32 cast (the q30/q31
+    * cross-engine arithmetic contract). The codebook side (k=16 → 128
+    * sub-rows) is always broadcast.
+    */
+  private def pqSubDistances(
+      vectors: org.apache.spark.sql.DataFrame,
+      codebook: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def subs(df: org.apache.spark.sql.DataFrame, idCol: String, outId: String) =
+      df.select(col(idCol).as(outId), col("embedding"))
+        .withColumn("m", explode(sequence(lit(0), lit(7))))
+        .select(col(outId), col("m"),
+          slice(col("embedding"), col("m") * 8 + 1, lit(8)).as(s"sub_$outId"))
+    val ev = subs(vectors, "vec_id", "vec_id")
+    val cs = subs(codebook, "vec_id", "cid")
+    ev.join(broadcast(cs), "m")
+      .withColumn("dist",
+        aggregate(
+          zip_with(col("sub_vec_id"), col("sub_cid"), (x, y) => x - y),
+          lit(0.0d),
+          (acc, v) => acc + (v * v).cast("double"))
+          .cast(FloatType))
+      .select(col("vec_id"), col("m"), col("cid"), col("dist"))
+  }
 }
