@@ -60,6 +60,30 @@ object StreamOps {
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming contamination screen: flags documents whose word
+    * 8-grams MIGHT overlap the eval set, by probing every gram
+    * against a broadcast bloom filter inside an `exists` higher-order
+    * function over the gram array — a pure stateless projection (no
+    * explode, no shuffle, no streaming state), so it runs in append
+    * mode on an unbounded ingest. The gram array comes from the
+    * codegen'd WordShingles kernel; the probes run interpreted inside
+    * the HOF (Spark evaluates lambda bodies interpreted) — ~W hash
+    * probes per document, still strictly map-side.
+    *
+    * One-sided error, inherited from the filter: `false` is
+    * definitive (provably clean — the overwhelming majority at any
+    * real contamination rate, dropped right here), `true` is a
+    * candidate for the exact verify join (the batch q99 tail run on
+    * the tiny surviving fraction, per epoch or downstream).
+    */
+  def contaminationScreen(
+      docs: DataFrame,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+      : DataFrame =
+    docs.withColumn("candidate",
+      exists(graft.functions.WordShingles(col("text"), 8),
+        g => graft.functions.BloomMightContain(g, bloom)))
+
   /** Stream-stream interval join: left rows pair with right rows of
     * the same `key` whose event time falls within ±`gap` — the
     * continuous form of the batch [[graft.operators.RangeJoin]].

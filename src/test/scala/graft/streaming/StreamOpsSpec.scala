@@ -50,6 +50,41 @@ class StreamOpsSpec extends AnyFunSuite {
 
   final case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
+  test("contaminationScreen: no false negatives streaming, equals batch screen") {
+    implicit val sqlCtx = spark.sqlContext
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // tuples, not the inner Doc case class: MemoryStream of an inner
+    // class needs its outer scope registered when this test runs alone
+    val docs = Seq(
+      (1L, ts(0), s"prefix words $evalText suffix words here"), // contains eval 8-gram
+      (2L, ts(1), "totally unrelated clean words one two three four five six seven"),
+      (3L, ts(2), evalText))
+    // bloom over the eval doc's distinct 8-grams (built batch-side)
+    val evalGrams = Seq(evalText).toDF("text")
+      .select(explode(graft.functions.WordShingles(col("text"), 8)).as("s"))
+      .distinct()
+    val bloom = evalGrams.stat.bloomFilter("s", 1000, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    mem.addData(docs: _*)
+    val q = StreamOps.contaminationScreen(
+        mem.toDF().toDF("doc_id", "ts", "text"), bc)
+      .writeStream.format("memory").queryName("contam_screen")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("contam_screen")
+        .select("doc_id", "candidate").as[(Long, Boolean)].collect().toMap
+      assert(streamed(1L) && streamed(3L)) // true overlaps always flagged
+      assert(!streamed(2L)) // clean doc passes (fpp makes this ~certain at n=3)
+      val batch = StreamOps.contaminationScreen(
+          docs.toDF("doc_id", "ts", "text"), bc)
+        .select("doc_id", "candidate").as[(Long, Boolean)].collect().toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("dedupDocStream: drops in-watermark duplicates, keeps distinct texts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Doc]
