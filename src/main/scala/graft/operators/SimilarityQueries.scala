@@ -281,6 +281,98 @@ object SimilarityQueries {
           col("adist").cast(FloatType).as("adist"),
           col("rn").cast("int").as("rn"))
         .orderBy(col("qid"), col("rn"))
+    },
+
+    // ------------------------------------------------------------------
+    // q107 — the composed production ANN stack, IVF + PQ: cell
+    // assignment prunes the corpus (each query ranks ONLY the vectors
+    // in its 2 nearest cells — q54's probe logic), and within those
+    // cells ranking is PQ table lookups (q106's ADC) — so at scale
+    // the scan is nprobe/k of the corpus touching 8 bytes per vector
+    // instead of 256. Every stage deterministic (cosine float32 ties
+    // to lower cid, fixed-order ADC addition chain), so the entire
+    // three-layer approximation — centroids → cells → codes → top-5 —
+    // is one oracle-checked result.
+    QueryDef.sql(
+      "q107_ivf_pq_search",
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cid AS cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) AS arn
+         |    FROM embeddings e CROSS JOIN c) WHERE arn = 1),
+         |p AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT q.qid, c.cid AS cell, ROW_NUMBER() OVER (PARTITION BY q.qid
+         |      ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cid) AS prn
+         |    FROM q CROSS JOIN c) WHERE prn <= 2),
+         |sub AS (SELECT unnest(range(0, 8)) AS m),
+         |ev AS (SELECT vec_id, m, embedding[m*8+1 : m*8+8] AS es
+         |       FROM embeddings CROSS JOIN sub),
+         |cs AS (SELECT cid, m, cv[m*8+1 : m*8+8] AS csub FROM c CROSS JOIN sub),
+         |d AS (SELECT ev.vec_id, ev.m, cs.cid,
+         |  CAST(list_sum(list_transform(range(1, 9),
+         |    j -> CAST((es[j]-csub[j])*(es[j]-csub[j]) AS DOUBLE))) AS REAL) AS dist
+         |  FROM ev JOIN cs USING (m)),
+         |codes AS (SELECT vec_id, m, cid AS code FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |    ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
+         |qd AS (SELECT vec_id AS qid, m, cid, dist FROM d WHERE vec_id % 100 = 0),
+         |cand AS (SELECT p.qid, a.vec_id AS nid
+         |         FROM p JOIN asg a USING (cell) WHERE a.vec_id <> p.qid),
+         |a AS (SELECT cand.qid, cand.nid,
+         |  ${(0 to 7).map(m => s"MAX(CASE WHEN qd.m = $m THEN CAST(qd.dist AS DOUBLE) END)").mkString("\n         |  + ")} AS adist
+         |  FROM cand JOIN codes x ON x.vec_id = cand.nid
+         |  JOIN qd ON qd.qid = cand.qid AND qd.m = x.m AND qd.cid = x.code
+         |  GROUP BY cand.qid, cand.nid)
+         |SELECT qid, nid, CAST(adist AS REAL) AS adist, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY CAST(adist AS REAL), nid) AS rn FROM a)
+         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val assigned = SimilarityOps.ivfAssign(e, 16).select(col("vec_id"), col("cell"))
+      val cents = SimilarityOps.ivfCentroids(e, 16)
+        .withColumn("cnsq", VectorFunctions.normSq(col("cv")))
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .withColumn("qnsq", VectorFunctions.normSq(col("qv")))
+      val pw = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
+      val probes = q.crossJoin(broadcast(cents))
+        .withColumn("csim",
+          (VectorFunctions.dot(col("qv"), col("cv"))
+            / sqrt(col("qnsq") * col("cnsq"))).cast(FloatType))
+        .withColumn("prn", row_number().over(pw))
+        .filter(col("prn") <= 2)
+        .select(col("qid"), col("cid").as("cell"))
+      val d = pqSubDistances(e, e.filter(col("vec_id") < 16)).persist()
+      val w0 = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("dist"), col("cid"))
+      val codes = d.withColumn("rn", row_number().over(w0))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("cid").as("code"))
+      val qd = d.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qqid"), col("m").as("qm"),
+          col("cid").as("qcid"), col("dist"))
+      val cand = probes.join(assigned, "cell")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"))
+      val adist = (0 to 7).map(m =>
+          max(when(col("qm") === m, col("dist").cast("double"))))
+        .reduce(_ + _)
+      val a = cand.join(codes, cand("nid") === codes("vec_id"))
+        .join(broadcast(qd),
+          col("qm") === col("m") && col("qcid") === col("code")
+            && col("qqid") === col("qid"))
+        .groupBy(col("qid"), col("nid"))
+        .agg(adist.as("adist"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("adist").cast(FloatType), col("nid"))
+      a.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select(col("qid"), col("nid"),
+          col("adist").cast(FloatType).as("adist"),
+          col("rn").cast("int").as("rn"))
+        .orderBy(col("qid"), col("rn"))
     }
   )
 
