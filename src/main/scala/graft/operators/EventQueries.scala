@@ -125,6 +125,38 @@ object EventQueries {
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin) { (s, dir) =>
       FunnelOps.funnelFold(Tables(s, dir).events)
+    },
+
+    // ------------------------------------------------------------------
+    // q109 — incremental rollup maintenance: the daily (day, type)
+    // rollup computed as TWO partial aggregates (here split by user
+    // parity — every output group has rows in both partials) merged by
+    // re-aggregation, proving the merge identity partial(A) ⊎
+    // partial(B) = full(A ∪ B) that every incremental pipeline leans
+    // on: tonight's delta folds into yesterday's materialized rollup
+    // without rescanning history. count merges by SUM; value totals
+    // stay exact DECIMAL until one final double cast, so the merged
+    // result hash-matches the oracle's direct full-scan rollup — not
+    // "close to", EQUAL. Merge cost is rollup-sized (days × types),
+    // never fact-table-sized.
+    QueryDef.sql(
+      "q109_incremental_rollup",
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val events = Tables(s, dir).events
+      def partial(pred: org.apache.spark.sql.Column) = events.filter(pred)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("sv"))
+      partial(col("user_id") % 2 === 0)
+        .unionByName(partial(col("user_id") % 2 =!= 0))
+        .groupBy(col("day"), col("event_type"))
+        .agg(sum(col("n")).as("n"),
+          sum(col("sv")).cast(DoubleType).as("total_value"))
+        .orderBy(col("day"), col("event_type"))
     }
   )
 }

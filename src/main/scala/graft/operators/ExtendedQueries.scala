@@ -309,6 +309,51 @@ object ExtendedQueries {
         .filter(col("dist") <= 2)
         .select(col("name_a"), col("name_b"), col("dist"), col("rows_a"), col("rows_b"))
         .orderBy(col("name_a"), col("name_b"))
+    },
+
+    // ------------------------------------------------------------------
+    // q108 — referential-integrity audit: orphan counts for the three
+    // core fact→dim relationships, the constraint check a warehouse
+    // runs after every load (lakes don't enforce foreign keys — you
+    // audit them). Orphans via LEFT ANTI join against the DISTINCT
+    // parent key set: the parent side collapses to its key cardinality
+    // before the join (broadcastable for dims), the fact side streams
+    // through once, and a NULL child key counts as an orphan on both
+    // engines (anti join and NOT EXISTS agree: null matches nothing).
+    QueryDef.sql(
+      "q108_ref_integrity",
+      """SELECT * FROM (
+        |  SELECT 'events.user_id->customer' AS rel,
+        |    (SELECT COUNT(*) FROM events) AS n_rows,
+        |    (SELECT COUNT(*) FROM events e WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS n_orphans
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey->orders',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer',
+        |    (SELECT COUNT(*) FROM orders),
+        |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)))
+        |ORDER BY rel""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir)
+      def audit(name: String, child: org.apache.spark.sql.DataFrame, ck: String,
+          parent: org.apache.spark.sql.DataFrame, pk: String) = {
+        val total = child.agg(count(lit(1)).as("n_rows"))
+        val orphans = child.select(col(ck).as("k"))
+          .join(parent.select(col(pk).as("k")).distinct(), Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        total.crossJoin(orphans)
+          .select(lit(name).as("rel"), col("n_rows"), col("n_orphans"))
+      }
+      audit("events.user_id->customer", t.events, "user_id", t.customer, "c_custkey")
+        .unionByName(audit("lineitem.l_orderkey->orders",
+          t.lineitem, "l_orderkey", t.orders, "o_orderkey"))
+        .unionByName(audit("orders.o_custkey->customer",
+          t.orders, "o_custkey", t.customer, "c_custkey"))
+        .orderBy(col("rel"))
     }
   )
 }
