@@ -797,6 +797,60 @@ object TextQueries {
     },
 
     // ------------------------------------------------------------------
+    // q110 — bigram language-model quality score: per-doc mean log
+    // P(w | prev) under the corpus's own Laplace-smoothed bigram
+    // distribution — the order-2 step from q86's unigram toward the
+    // KenLM-style perplexity filters curation pipelines deploy (order
+    // captures "plausible word SEQUENCES", which unigrams cannot).
+    // ln happens once per distinct BIGRAM (vocab²-bounded, broadcast
+    // back over the pair stream); per-doc sums run in token-position
+    // order (the q86 ordered-fold contract — double addition must not
+    // depend on partition order), final float32 cast. Context counts
+    // and the vocabulary size are two broadcast-size aggregates; the
+    // corpus explodes once into (prev, w, pos) and re-aggregates
+    // map-side.
+    QueryDef.sql(
+      "q110_bigram_logprob",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+        |p AS (SELECT doc_id, i+1 AS pos, tk[i] AS prev, tk[i+1] AS w
+        |      FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM t)),
+        |c2 AS (SELECT prev, w, COUNT(*) AS c2 FROM p GROUP BY 1, 2),
+        |c1 AS (SELECT prev, COUNT(*) AS c1 FROM p GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS vsz
+        |      FROM (SELECT unnest(tk) AS tok FROM t)),
+        |lp AS (SELECT prev, w, ln((c2 + 1.0)/(c1 + vsz)) AS logp
+        |       FROM c2 JOIN c1 USING (prev) CROSS JOIN v),
+        |pd AS (SELECT doc_id, list(logp ORDER BY pos) AS lps
+        |       FROM p JOIN lp USING (prev, w) GROUP BY doc_id)
+        |SELECT doc_id, CAST(len(lps) AS INTEGER) AS n_bigrams,
+        |  CAST(list_sum(lps)/len(lps) AS REAL) AS avg_logprob
+        |FROM pd ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documentsSpread
+      val t = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      val p = t.filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), col("tk"),
+          posexplode(slice(col("tk"), lit(1), size(col("tk")) - 1)).as(Seq("i0", "prev")))
+        .select(col("doc_id"), (col("i0") + 2).as("pos"),
+          col("prev"), element_at(col("tk"), col("i0") + 2).as("w"))
+      val c2 = p.groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c2"))
+      val c1 = p.groupBy(col("prev")).agg(count(lit(1)).as("c1"))
+      val v = t.select(explode(col("tk")).as("tok"))
+        .agg(countDistinct(col("tok")).cast(DoubleType).as("vsz"))
+      val lp = c2.join(broadcast(c1), "prev").crossJoin(broadcast(v))
+        .select(col("prev"), col("w"),
+          log((col("c2") + lit(1.0)) / (col("c1") + col("vsz"))).as("logp"))
+      p.join(broadcast(lp), Seq("prev", "w"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("logp")))).as("lps"))
+        .select(col("doc_id"),
+          size(col("lps")).as("n_bigrams"),
+          (aggregate(col("lps"), lit(0.0),
+            (acc, x) => acc + x.getField("logp")) / size(col("lps")))
+            .cast(FloatType).as("avg_logprob"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
     // q104 — span STRIP: the action to q100's detection — rewrite every
     // document with its duplicated 8-token spans removed (what the
     // token-level dedup pass actually emits for training). The covered
