@@ -399,6 +399,49 @@ object AdvancedQueries {
     },
 
     // ------------------------------------------------------------------
+    // q111 — mergeable-sketch distinct counting: per-day HLL sketches
+    // of active users (registers, not estimates — Spark's own
+    // approx_count_distinct emits only the number) unioned into the
+    // all-time distinct estimate WITHOUT rescanning facts — the
+    // sketch twin of q109's exact partial-aggregate merge, and the
+    // shape segment-overlap dashboards need (any date range = one
+    // register-wise max over ~4 KB/day sketches). Hashing stays in
+    // codegen'd SQL (xxhash64); the typed Aggregator only does
+    // register bookkeeping. Rows-only by design (estimates are
+    // engine-specific, the q43 pattern): exact countDistinct rides
+    // along per row, and HllSpec pins the ≤5% error plus the
+    // BIT-EQUAL union identity union(sketch(A),sketch(B)) ==
+    // sketch(A ∪ B).
+    QueryDef.rowsOnly("q111_hll_daily_union") { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir).events.select(
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+      val hashed = t.withColumn("h", xxhash64(col("user_id")))
+      val sketches = hashed.select(col("day"), col("h")).as[(String, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new graft.functions.HllSketch().toColumn.name("sk"))
+        .toDF("day", "sk")
+      val exact = t.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      val daily = sketches.join(exact, "day")
+        .as[(String, Array[Byte], Long)]
+        .map { case (day, sk, ex) =>
+          (day, math.round(graft.functions.HllSketch.estimate(sk)), ex) }
+        .toDF("day", "est_users", "exact_users")
+      val allSketch = sketches.as[(String, Array[Byte])]
+        .groupByKey(_ => 0)
+        .mapGroups((_, it) => it.map(_._2).reduce(graft.functions.HllSketch.union))
+        .map(sk => ("ALL", math.round(graft.functions.HllSketch.estimate(sk))))
+        .toDF("day", "est_users")
+      val allExact = t.agg(countDistinct(col("user_id")).as("exact_users"))
+      daily.unionByName(
+          allSketch.crossJoin(allExact)
+            .select(col("day"), col("est_users"), col("exact_users")))
+        .orderBy(col("day"))
+    },
+
+    // ------------------------------------------------------------------
     // q101 — FIXED-POINT integer PageRank (5 rounds, damping 0.85) on
     // the symmetric order-chain graph of q91. Rank mass is a scaled
     // long (10^12 = one unit of rank), every division is integer

@@ -1,0 +1,65 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HLL sketch invariants: the union identity is EXACT (register
+  * arrays bit-equal, not estimates-close), estimates land within the
+  * design error, and the linear-counting regime handles small counts.
+  */
+class HllSketchSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def sketchOf(values: Seq[Long]): Array[Byte] = {
+    import spark.implicits._
+    values.toDF("v").withColumn("h", xxhash64(col("v")))
+      .select(col("h")).as[Long]
+      .groupByKey(_ => 0).mapValues(identity)
+      .agg(new HllSketch().toColumn.name("sk"))
+      .collect().head._2
+  }
+
+  test("union of part sketches is bit-equal to the whole-corpus sketch") {
+    val a = (1L to 5000L)
+    val b = (3000L to 9000L) // overlapping
+    val whole = sketchOf(a ++ b)
+    val parts = HllSketch.union(sketchOf(a), sketchOf(b))
+    assert(parts.sameElements(whole))
+  }
+
+  test("estimate within design error at 4096 registers (~1.6% stddev)") {
+    val n = 50000L
+    val est = HllSketch.estimate(sketchOf(1L to n))
+    assert(math.abs(est - n) / n < 0.05, s"est $est for n=$n")
+  }
+
+  test("small counts hit linear counting and stay near-exact") {
+    val est = HllSketch.estimate(sketchOf(1L to 100L))
+    assert(math.abs(est - 100.0) < 5.0, s"est $est for n=100")
+  }
+
+  test("union is idempotent and commutative") {
+    val s1 = sketchOf(1L to 1000L)
+    val s2 = sketchOf(500L to 1500L)
+    assert(HllSketch.union(s1, s1).sameElements(s1))
+    assert(HllSketch.union(s1, s2).sameElements(HllSketch.union(s2, s1)))
+  }
+
+  test("q111 rides exact counts: every estimate within 5% of its exact") {
+    val rows = graft.SparkEntry.queries("q111_hll_daily_union")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val all = rows.filter(_.getAs[String]("day") == "ALL")
+    assert(all.length == 1)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_users").toDouble
+      val ex = r.getAs[Long]("exact_users").toDouble
+      // tiny days (tens of users) legitimately land ±1-2 off in the
+      // linear-counting regime; relative bounds only bind at size
+      assert(math.abs(est - ex) <= 2.0 || math.abs(est - ex) / ex <= 0.05,
+        s"day ${r.getAs[String]("day")}: est $est vs exact $ex")
+    }
+  }
+}
