@@ -47,6 +47,19 @@ class HllSketchSpec extends AnyFunSuite {
     assert(HllSketch.union(s1, s2).sameElements(HllSketch.union(s2, s1)))
   }
 
+  test("inclusion-exclusion overlap from sketches lands near truth") {
+    // |A∩B| ≈ est(A) + est(B) − est(A∪B): the overlap-dashboard use
+    // of the union algebra (no pairwise fact join). True overlap 2000.
+    val a = (1L to 6000L)
+    val b = (4001L to 10000L)
+    val sa = sketchOf(a); val sb = sketchOf(b)
+    val inter = HllSketch.estimate(sa) + HllSketch.estimate(sb) -
+      HllSketch.estimate(HllSketch.union(sa, sb))
+    // error compounds across three ±1.6% estimates relative to the
+    // LARGER sets, so bound vs |A|+|B| (12k), not the 2k overlap
+    assert(math.abs(inter - 2000.0) <= 0.05 * 12000.0, s"inter $inter")
+  }
+
   test("q111 rides exact counts: every estimate within 5% of its exact") {
     val rows = graft.SparkEntry.queries("q111_hll_daily_union")(
       spark, "/root/testdata/sf0.001").collect()
