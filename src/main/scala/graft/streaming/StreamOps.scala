@@ -60,6 +60,32 @@ object StreamOps {
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Windowed distinct-user SKETCHES: per-window HLL registers (not
+    * estimates) over a watermarked stream — the continuous producer
+    * for the q111 union algebra. Emitting registers is the point:
+    * downstream, any span of windows collapses to one register-wise
+    * max (≈4 KB each) for an exact-same-as-batch distinct estimate
+    * over that range, with no replay of the stream. Hashing stays in
+    * codegen'd SQL; state per open window is one 4 KB buffer
+    * (bounded by the watermark), serialized to the state store by the
+    * aggregator's BINARY encoder. Works identically on a batch frame
+    * (watermark is a no-op there) — the equivalence the spec pins.
+    */
+  def distinctUsersStream(
+      events: DataFrame,
+      windowDur: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val hll = udaf(new graft.functions.HllSketch(),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events
+      .withColumn("h", xxhash64(col("user_id")))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur).as("w"))
+      .agg(hll(col("h")).as("sk"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("sk"))
+  }
+
   /** Streaming contamination screen: flags documents whose word
     * 8-grams MIGHT overlap the eval set, by probing every gram
     * against a broadcast bloom filter inside an `exists` higher-order

@@ -50,6 +50,37 @@ class StreamOpsSpec extends AnyFunSuite {
 
   final case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
+  test("distinctUsersStream: registers bit-equal batch; estimates equal exact") {
+    implicit val sqlCtx = spark.sqlContext
+    // two hour-windows; duplicate users within and across windows
+    val ev = Seq(
+      (1L, ts(5)), (2L, ts(10)), (1L, ts(20)), (3L, ts(40)),      // h0: users 1,2,3
+      (2L, ts(65)), (4L, ts(70)), (4L, ts(80)), (5L, ts(110)))    // h1: users 2,4,5
+      .map { case (u, t) => (u, t) }
+    val mem = MemoryStream[(Long, Timestamp)]
+    mem.addData(ev: _*)
+    val q = StreamOps.distinctUsersStream(
+        mem.toDF().toDF("user_id", "ts"), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("hll_win")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hll_win").collect()
+        .map(r => r.getAs[Timestamp]("window_start") -> r.getAs[Array[Byte]]("sk")).toMap
+      val batch = StreamOps.distinctUsersStream(
+          ev.toDF("user_id", "ts"), "1 hour", "2 hours").collect()
+        .map(r => r.getAs[Timestamp]("window_start") -> r.getAs[Array[Byte]]("sk")).toMap
+      assert(streamed.keySet == batch.keySet && streamed.keySet.size == 2)
+      streamed.foreach { case (w, sk) => assert(sk.sameElements(batch(w))) }
+      // estimates: h0 = 3 users, h1 = 3 users; union across both = 5
+      val ests = streamed.toSeq.sortBy(_._1.getTime)
+        .map { case (_, sk) => math.round(graft.functions.HllSketch.estimate(sk)) }
+      assert(ests == Seq(3L, 3L))
+      val union = streamed.values.reduce(graft.functions.HllSketch.union)
+      assert(math.round(graft.functions.HllSketch.estimate(union)) == 5L)
+    } finally q.stop()
+  }
+
   test("contaminationScreen: no false negatives streaming, equals batch screen") {
     implicit val sqlCtx = spark.sqlContext
     val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
