@@ -486,7 +486,8 @@ object AdvancedQueries {
         .select(col("o_orderkey").as("a"), col("nxt").as("b"))
       val e = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       PageRank.fixedPoint(e, iters = 5)
-        .select(col("node"), col("v").as("rank_fp")).orderBy(col("node"))
+        .select(col("node"), col("v").cast("long").as("rank_fp"))
+        .orderBy(col("node"))
     },
 
     // ------------------------------------------------------------------

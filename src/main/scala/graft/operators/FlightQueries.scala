@@ -151,5 +151,5 @@ object FlightQueries {
       (s, d) => inOutImbalance(gold(s, d))))
 
   // FlightModel referenced to bind the module dependency explicitly
-  private val _ = FlightModel.goldColumns
+  locally { FlightModel.goldColumns: Unit }
 }

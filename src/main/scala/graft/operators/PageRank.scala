@@ -2,14 +2,23 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Fixed-point integer PageRank — damping 0.85, rank mass carried as
-  * a scaled long (`Unit` = 10^12 = one unit of rank) with INTEGER
-  * division everywhere, so every round is exactly reproducible: long
-  * sums are order-independent where double PageRank drifts in the
-  * last ulp with partition order. That determinism is what makes an
-  * iterative graph metric regression-testable (and cross-engine
-  * hash-checkable — q101 unrolls the same rounds as oracle CTEs).
+  * a scaled integer (`Unit` = 10^12 = one unit of rank) in
+  * DECIMAL(38,0) with explicit floor at both division points, so
+  * every round is exactly reproducible: integer sums are
+  * order-independent where double PageRank drifts in the last ulp
+  * with partition order. That determinism is what makes an iterative
+  * graph metric regression-testable (and cross-engine hash-checkable
+  * — q101 unrolls the same rounds as oracle CTEs, whose HUGEINT `//`
+  * is the same floor-division on the same exact integers).
+  *
+  * Why decimal, not long: a hub with h in-neighbors accumulates
+  * S ≈ h·Unit before damping, and the 85·S intermediate overflows
+  * Long at h ≈ 10^5 (found by the PageRankScale star probe — the
+  * q01 scaled-long overflow lesson, one operator later). DECIMAL(38)
+  * holds 10^38 — no realizable graph reaches it.
   *
   * Per round: one equi-join of ranks with degrees (co-partitioned on
   * node), one join onto edge sources, one partial-aggregated sum onto
@@ -33,17 +42,21 @@ object PageRank {
     // round's rank⋈edges exchange reuses this one layout instead of
     // re-shuffling |E| each iteration, and the degree aggregate
     // collapses map-side with no exchange of its own
+    val dec = DecimalType(38, 0)
     val e = edges.select(col("a"), col("b")).repartition(col("a")).persist()
     val deg = e.groupBy(col("a").as("node")).agg(count(lit(1)).as("d")).persist()
-    var v = deg.select(col("node"), lit(Unit0).as("v"))
+    var v = deg.select(col("node"), lit(Unit0).cast(dec).as("v"))
     for (k <- 1 to iters) {
       v = v.join(deg, "node")
-        .select(col("node"), expr("v div d").as("contrib"))
+        // floor over the exact rational = integer division for the
+        // non-negative operands here; both engines agree exactly
+        .select(col("node"), floor(col("v") / col("d")).cast(dec).as("contrib"))
         .join(e, col("node") === col("a"))
         .groupBy(col("b"))
         .agg(sum(col("contrib")).as("s"))
         .select(col("b").as("node"),
-          expr(s"(${15 * Unit0}L + 85L * s) div 100").as("v"))
+          floor((lit(15 * Unit0).cast(dec) + lit(85).cast(dec) * col("s")) / 100)
+            .cast(dec).as("v"))
       // deep iteration counts: truncate lineage so round N's plan does
       // not embed rounds 1..N-1 (the q69 components discipline)
       if (k % checkpointEvery == 0 && k < iters) v = v.localCheckpoint()

@@ -19,7 +19,8 @@ class PageRankSpec extends AnyFunSuite {
   }
 
   private def ranks(df: DataFrame): Map[Long, Long] =
-    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    df.collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1).longValueExact()).toMap
 
   test("one round on the symmetric 3-path matches hand arithmetic") {
     // deg: 1→1, 2→2, 3→1; contribs: 1 and 3 send 1.0, 2 sends 0.5 each way
