@@ -196,14 +196,7 @@ object SimilarityQueries {
     QueryDef.sql(
       "q105_pq_encode",
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
-         |sub AS (SELECT unnest(range(0, 8)) AS m),
-         |ev AS (SELECT vec_id, m, embedding[m*8+1 : m*8+8] AS es
-         |       FROM embeddings CROSS JOIN sub),
-         |cs AS (SELECT cid, m, cv[m*8+1 : m*8+8] AS csub FROM c CROSS JOIN sub),
-         |d AS (SELECT ev.vec_id, ev.m, cs.cid,
-         |  CAST(list_sum(list_transform(range(1, 9),
-         |    j -> CAST((es[j]-csub[j])*(es[j]-csub[j]) AS DOUBLE))) AS REAL) AS dist
-         |  FROM ev JOIN cs USING (m))
+         |$pqDistSql
          |SELECT vec_id, CAST(m AS INTEGER) AS m, cid AS code, dist FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
          |    ORDER BY dist, cid) AS rn FROM d)
@@ -234,14 +227,7 @@ object SimilarityQueries {
     QueryDef.sql(
       "q106_pq_search",
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
-         |sub AS (SELECT unnest(range(0, 8)) AS m),
-         |ev AS (SELECT vec_id, m, embedding[m*8+1 : m*8+8] AS es
-         |       FROM embeddings CROSS JOIN sub),
-         |cs AS (SELECT cid, m, cv[m*8+1 : m*8+8] AS csub FROM c CROSS JOIN sub),
-         |d AS (SELECT ev.vec_id, ev.m, cs.cid,
-         |  CAST(list_sum(list_transform(range(1, 9),
-         |    j -> CAST((es[j]-csub[j])*(es[j]-csub[j]) AS DOUBLE))) AS REAL) AS dist
-         |  FROM ev JOIN cs USING (m)),
+         |$pqDistSql,
          |codes AS (SELECT vec_id, m, cid AS code FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
          |    ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
@@ -307,14 +293,7 @@ object SimilarityQueries {
          |    SELECT q.qid, c.cid AS cell, ROW_NUMBER() OVER (PARTITION BY q.qid
          |      ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.cid) AS prn
          |    FROM q CROSS JOIN c) WHERE prn <= 2),
-         |sub AS (SELECT unnest(range(0, 8)) AS m),
-         |ev AS (SELECT vec_id, m, embedding[m*8+1 : m*8+8] AS es
-         |       FROM embeddings CROSS JOIN sub),
-         |cs AS (SELECT cid, m, cv[m*8+1 : m*8+8] AS csub FROM c CROSS JOIN sub),
-         |d AS (SELECT ev.vec_id, ev.m, cs.cid,
-         |  CAST(list_sum(list_transform(range(1, 9),
-         |    j -> CAST((es[j]-csub[j])*(es[j]-csub[j]) AS DOUBLE))) AS REAL) AS dist
-         |  FROM ev JOIN cs USING (m)),
+         |$pqDistSql,
          |codes AS (SELECT vec_id, m, cid AS code FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
          |    ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
@@ -378,29 +357,51 @@ object SimilarityQueries {
 
   /** Per-(vector, subspace, code) squared-L2 distances between
     * `vectors` and `codebook` sub-slices — the shared core of the PQ
-    * encode (q105) and ADC search (q106). 8 subspaces × 8 dims over
-    * 64-dim float32 embeddings; float32 subtract and square widened
-    * to double, summed left-to-right, final float32 cast (the q30/q31
-    * cross-engine arithmetic contract). The codebook side (k=16 → 128
-    * sub-rows) is always broadcast.
+    * encode (q105), ADC search (q106) and IVF+PQ (q107). 8 subspaces
+    * × 8 dims over 64-dim float32 embeddings. Computed as
+    * ‖a‖² + ‖b‖² − 2a·b through the codegen'd [[Float32Dot]] kernel:
+    * the norms are precomputed ONCE per sub-slice before the join, so
+    * the (vector × code) blow-up pays one 8-element primitive loop
+    * per row instead of an interpreted HOF chain (the zip_with/
+    * aggregate form cost q107 ~114 s at the 100× probe; this runs the
+    * same rows in seconds). Each term is the proven q30/q31 float32-
+    * product-to-double arithmetic, the a+b−2c combination is a fixed
+    * left-to-right double expression on both engines, and the final
+    * float32 cast absorbs nothing (the doubles are already equal).
+    * The codebook side (k=16 → 128 sub-rows) is always broadcast.
     */
   private def pqSubDistances(
       vectors: org.apache.spark.sql.DataFrame,
       codebook: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    def subs(df: org.apache.spark.sql.DataFrame, idCol: String, outId: String) =
+    def subs(df: org.apache.spark.sql.DataFrame, idCol: String, outId: String, nsq: String) =
       df.select(col(idCol).as(outId), col("embedding"))
         .withColumn("m", explode(sequence(lit(0), lit(7))))
         .select(col(outId), col("m"),
           slice(col("embedding"), col("m") * 8 + 1, lit(8)).as(s"sub_$outId"))
-    val ev = subs(vectors, "vec_id", "vec_id")
-    val cs = subs(codebook, "vec_id", "cid")
+        .withColumn(nsq, graft.functions.Float32Dot(col(s"sub_$outId"), col(s"sub_$outId")))
+    val ev = subs(vectors, "vec_id", "vec_id", "ensq")
+    val cs = subs(codebook, "vec_id", "cid", "cnsq")
     ev.join(broadcast(cs), "m")
       .withColumn("dist",
-        aggregate(
-          zip_with(col("sub_vec_id"), col("sub_cid"), (x, y) => x - y),
-          lit(0.0d),
-          (acc, v) => acc + (v * v).cast("double"))
+        (col("ensq") + col("cnsq")
+          - lit(2.0d) * graft.functions.Float32Dot(col("sub_vec_id"), col("sub_cid")))
           .cast(FloatType))
       .select(col("vec_id"), col("m"), col("cid"), col("dist"))
+  }
+
+  /** DuckDB mirror of [[pqSubDistances]]'s `d` output as CTE text
+    * (expects `c(cid, cv)` in scope; emits sub/ev/cs/d).
+    */
+  private def pqDistSql: String = {
+    def dot8(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, 9), j -> CAST($a[j]*$b[j] AS DOUBLE)))"
+    s"""sub AS (SELECT unnest(range(0, 8)) AS m),
+       |ev AS (SELECT vec_id, m, embedding[m*8+1 : m*8+8] AS es
+       |       FROM embeddings CROSS JOIN sub),
+       |cs AS (SELECT cid, m, cv[m*8+1 : m*8+8] AS csub FROM c CROSS JOIN sub),
+       |d AS (SELECT ev.vec_id, ev.m, cs.cid,
+       |  CAST(${dot8("es", "es")} + ${dot8("csub", "csub")}
+       |     - 2.0 * ${dot8("es", "csub")} AS REAL) AS dist
+       |  FROM ev JOIN cs USING (m))""".stripMargin
   }
 }
