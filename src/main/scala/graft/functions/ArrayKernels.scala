@@ -58,6 +58,23 @@ object ArrayKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Count of positions where two long arrays agree (walked to the
+    * shorter length). Over two MinHash signatures this is the
+    * single-hash collision count, an unbiased estimator of Jaccard
+    * scaled by signature length — the near-dup pre-screen statistic
+    * ([[graft.operators.NearDup]]): 16 longs per side ship through the
+    * candidate-scale shuffle instead of multi-KB gram arrays.
+    */
+  def longPosAgreeCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var c = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Count of common elements of two SORTED long arrays (duplicates
     * counted min-wise, like multiset intersection; inputs from
     * `array_sort` of distinct hashes are duplicate-free in practice).
@@ -132,4 +149,34 @@ object SortedLongIntersectCount {
   def apply(a: Column, b: Column): Column =
     ColumnBridge.column(
       SortedLongIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** See [[ArrayKernels.longPosAgreeCount]]. */
+case class LongPosAgreeCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> inputs, got $l / $r")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayKernels.longPosAgreeCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ArrayKernels.longPosAgreeCount($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LongPosAgreeCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object LongPosAgreeCount {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      LongPosAgreeCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.{CharNgramHashesSorted, SortedLongIntersectCount}
+import graft.functions.{CharNgramHashesSorted, LongPosAgreeCount, SortedLongIntersectCount}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, DoubleType}
@@ -41,47 +41,110 @@ import org.apache.spark.sql.types.{BinaryType, DoubleType}
   * of the per-gram long, banded 8×2: recall ≈ 1-(1-j²)^8 ≈ 0.97 at
   * j = 0.6, →1 as j→1; precision 1.0 by construction. Band keys are
   * single longs, so the candidate self-join shuffles narrow rows.
+  *
+  * **Candidate-stage scale knobs** (both verify-volume controls for
+  * the LSH gray zone — j just below threshold passes 8×2 banding with
+  * high probability, so candidate volume can grow quadratically in
+  * sub-threshold twin multiplicity while staying exactly-verified):
+  *
+  *   - **signature-agreement pre-screen** (`agreeFloor`): candidate
+  *     pairs first join the persisted 16-long MinHash signatures
+  *     (~130 B/side) and pairs agreeing on fewer than `agreeFloor`
+  *     positions are dropped before the multi-KB gram arrays ship.
+  *     Position agreement is Bernoulli(j) per hash, so agreement ~
+  *     Binomial(16, j); the default floor sits 3σ below the expected
+  *     agreement AT the verify threshold
+  *     ([[NearDup.defaultAgreeFloor]]: 16·t − 3·√(16·t·(1−t)), = 4 at
+  *     t = 0.6), and a banding candidate already carries 2 agreeing
+  *     positions from its matched band, so the per-true-pair drop
+  *     probability is P[≤1 of the other 14 agree | j ≥ 0.6] ≈ 6e-5 —
+  *     recall is unchanged in expectation even over millions of true
+  *     pairs. The floor is deliberately a tail guard, not a
+  *     classifier: 16 hashes cannot separate j = 0.5 from j = 0.6
+  *     (the distributions overlap by >2σ), so sharper pruning of the
+  *     gray zone belongs to the bucket cap below.
+  *   - **band-bucket cap** (`maxBandBucket`): band buckets larger
+  *     than the cap are excluded from candidate generation entirely.
+  *     An oversized bucket is the quadratic failure shape — k docs
+  *     sharing one band key contribute k²/2 candidate pairs — and in
+  *     a replica-inflated corpus those buckets hold sub-threshold
+  *     twins, not true dups (true near-dup clusters collapse to few
+  *     canonicals in tier 1). Dropped volume is observable, not
+  *     silent: [[NearDup.droppedBandBuckets]] lists every over-cap
+  *     bucket with its size, and [[NearDup.capReport]] aggregates the
+  *     dropped row/pair counts for logging. Default `Int.MaxValue`
+  *     (off — lossless); the 100× probe uses 64.
   */
 object NearDup {
 
   private val bands = 8
   private val rowsPerBand = 2
+  private val nHashes = bands * rowsPerBand
+
+  /** Default signature-agreement floor for a verify threshold: three
+    * binomial standard deviations below the expected agreement of a
+    * pair sitting exactly AT the threshold — `⌈n·t − 3·√(n·t·(1−t))⌉`
+    * over n = 16 hashes (= 4 at t = 0.6). Pairs at or above the
+    * threshold fall below this floor with probability < 1e-3
+    * unconditionally, < 1e-4 conditioned on having matched a band.
+    */
+  def defaultAgreeFloor(threshold: Double): Int = {
+    val mean = nHashes * threshold
+    val sd = math.sqrt(nHashes * threshold * (1 - threshold))
+    math.max(0, math.ceil(mean - 3 * sd).toInt)
+  }
 
   /** A built near-dup index: `clusters` is the canonical-scale table
     * (fp, blocks…, canon_id, members, hashes — one row per distinct
-    * (block, text)); `bandRows` its exploded LSH band keys
-    * (band, bk, canon_id). Both persisted. At 100 TB these are the
-    * tables a production dedup service keeps on disk between crawl
-    * batches: the corpus TEXT is read once at build time, and every
-    * later operation (full pair listing, incremental batch, index
-    * merge) runs at canonical scale from the stored gram hashes.
+    * (block, text)); `sigs` its 16-long MinHash signature table
+    * (canon_id, blocks…, sig). Both persisted. LSH band keys
+    * ([[bandRows]]) are a narrow projection over `sigs`, re-derived
+    * on use so both sides of the candidate self-join share the one
+    * signature cache. At 100 TB these are the tables a production
+    * dedup service keeps on disk between crawl batches: the corpus
+    * TEXT is read once at build time, and every later operation
+    * (full pair listing, incremental batch, index merge) runs at
+    * canonical scale from the stored gram hashes.
     */
   final case class Index(
       clusters: DataFrame,
-      bandRows: DataFrame,
-      blockCols: Seq[String])
+      sigs: DataFrame,
+      blockCols: Seq[String]) {
+
+    /** Exploded LSH band keys (band, bk, canon_id) — block columns
+      * folded into the key hash. */
+    def bandRows: DataFrame = bandRowsOf(sigs, blockCols)
+
+    /** Release both persisted tables (streaming epoch rotation). */
+    def unpersist(): Unit = { clusters.unpersist(); sigs.unpersist() }
+  }
 
   /** Near-dup pairs with exact Jaccard ≥ `threshold`, blocked by
     * `blockCols` (pairs are only sought within a block — the standard
     * entity-resolution guard that keeps candidate volume proportional
     * to true duplicates; this template-heavy corpus has ~8M unblocked
     * near-dup pairs among 5k documents vs ~10² within blocks). Pass
-    * `Nil` for global cross-block search.
+    * `Nil` for global cross-block search. `agreeFloor` -1 = derive
+    * from the threshold ([[defaultAgreeFloor]]); 0 disables the
+    * pre-screen.
     */
   def nearDupPairs(
       spark: SparkSession,
       dir: String,
       threshold: Double = 0.6,
-      blockCols: Seq[String] = Seq("lang", "source")): DataFrame =
-    indexPairs(buildIndex(Tables(spark, dir).documentsSpread, blockCols), threshold)
+      blockCols: Seq[String] = Seq("lang", "source"),
+      agreeFloor: Int = -1,
+      maxBandBucket: Int = Int.MaxValue): DataFrame =
+    indexPairs(buildIndex(Tables(spark, dir).documentsSpread, blockCols),
+      threshold, agreeFloor, maxBandBucket)
 
   /** Build the index from a documents frame (`doc_id`, `text`,
     * blockCols…). Tier 1 + feature extraction in ONE pass over the
     * corpus: fingerprint and hashed-sorted gram set per doc, collapsed
     * to canonical clusters (hashes are identical within a cluster —
     * identical text — so `first()` carries them without a
-    * canonical-docs join); then the 16×xxhash64-min signature and band
-    * keys at canonical scale.
+    * canonical-docs join); then the 16×xxhash64-min signature at
+    * canonical scale.
     */
   def buildIndex(
       docs: DataFrame,
@@ -97,55 +160,116 @@ object NearDup {
         collect_list(col("doc_id")).as("members"),
         first(col("hashes")).as("hashes"))
       .persist()
-    Index(clusters, bandRowsOf(clusters, blockCols), blockCols)
+    Index(clusters, sigsOf(clusters, blockCols), blockCols)
   }
 
-  /** Band keys from a clusters table — no text scan: the signature
-    * aggregation explodes the STORED gram hashes. One projection
-    * emits every band key (block folded in) from a single scan — no
-    * 8-way union re-scanning the signature. Persisted because the
-    * candidate join reads it twice (self-join): an unpersisted
-    * subtree would re-run the explode + 16×xxhash64-min aggregation
-    * per side.
-    */
   /** Re-derive an index from a clusters table (e.g. one reloaded from
-    * disk or localCheckpointed to cut cross-batch lineage) — band keys
-    * come from the stored hashes, no text involved.
+    * disk or localCheckpointed to cut cross-batch lineage) — the
+    * signature aggregation reads the stored gram hashes, no text
+    * involved.
     */
   def indexFromClusters(clusters: DataFrame, blockCols: Seq[String]): Index =
-    Index(clusters, bandRowsOf(clusters, blockCols), blockCols)
+    Index(clusters, sigsOf(clusters, blockCols), blockCols)
 
-  private def bandRowsOf(clusters: DataFrame, blockCols: Seq[String]): DataFrame = {
+  /** The 16-long MinHash signature table of a clusters table — no
+    * text scan: one projection explodes the STORED gram hashes and
+    * takes the 16 per-seed minima. Persisted because every later
+    * stage reads it (band keys twice via the candidate self-join,
+    * then the agreement pre-screen twice): an unpersisted subtree
+    * would re-run the explode + 16×xxhash64-min aggregation per use.
+    */
+  private def sigsOf(clusters: DataFrame, blockCols: Seq[String]): DataFrame = {
     val blocks = blockCols.map(col)
-    val nHashes = bands * rowsPerBand
-    val sig = clusters
+    clusters
       .select(col("canon_id") +: blocks :+ explode(col("hashes")).as("gh"): _*)
       .groupBy(col("canon_id") +: blocks: _*)
       .agg(
         min(xxhash64(lit(0), col("gh"))).as("h0"),
         (1 until nHashes).map(j => min(xxhash64(lit(j), col("gh"))).as(s"h$j")): _*)
-    sig.select(col("canon_id"), posexplode(array(
-      (0 until bands).map(b =>
-        xxhash64((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")) ++ blocks: _*)): _*))
-      .as(Seq("band", "bk")))
+      .select(col("canon_id") +: blocks
+        :+ array((0 until nHashes).map(j => col(s"h$j")): _*).as("sig"): _*)
       .persist()
   }
 
-  /** Verify candidate (ca, cb) canonical pairs against the cluster
-    * tables and fan verified pairs back out to members: hashes verify
-    * the pair (primitive merge walk), members expand it (identical
-    * texts ⇒ identical gram sets ⇒ the canonical pair's Jaccard).
+  private def bandRowsOf(sigs: DataFrame, blockCols: Seq[String]): DataFrame = {
+    val blocks = blockCols.map(col)
+    sigs.select(col("canon_id"), posexplode(array(
+      (0 until bands).map(b =>
+        xxhash64((0 until rowsPerBand).map(r =>
+          col("sig").getItem(b * rowsPerBand + r)) ++ blocks: _*)): _*))
+      .as(Seq("band", "bk")))
+  }
+
+  /** Over-cap band buckets of an index: (band, bk, bucket_n) for every
+    * bucket larger than `cap` — the audit view of what a capped run
+    * drops. Empty ⇒ the cap is lossless for this corpus.
+    */
+  def droppedBandBuckets(index: Index, cap: Int): DataFrame =
+    index.bandRows.groupBy("band", "bk").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
+
+  /** One-row aggregate of [[droppedBandBuckets]]: buckets dropped,
+    * band rows dropped, and the candidate pairs those buckets would
+    * have generated (`Σ n·(n−1)/2`) — the number a capped production
+    * run logs alongside its output.
+    */
+  def capReport(index: Index, cap: Int): DataFrame =
+    droppedBandBuckets(index, cap).agg(
+      count(lit(1)).as("buckets_dropped"),
+      coalesce(sum(col("bucket_n")), lit(0L)).as("rows_dropped"),
+      coalesce(sum(col("bucket_n") * (col("bucket_n") - 1) / 2), lit(0L))
+        .as("pairs_dropped"))
+
+  /** Band rows with over-cap buckets removed. The bucket-size
+    * aggregation and back-join are canonical-scale and narrow (three
+    * longs a row) — paid only when a cap is set.
+    */
+  private def capped(bandRows: DataFrame, maxBandBucket: Int): DataFrame =
+    if (maxBandBucket == Int.MaxValue) bandRows
+    else {
+      val keep = bandRows.groupBy("band", "bk").agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= maxBandBucket)
+        .select("band", "bk")
+      bandRows.join(keep, Seq("band", "bk"))
+    }
+
+  /** Candidate (ca < cb) pairs from banded rows — the self-join on
+    * (band, bk), distinct over pairs. */
+  private def candidatesOf(aRows: DataFrame, bRows: DataFrame, selfPairs: Boolean): DataFrame = {
+    val joined = aRows.select(col("band"), col("bk"), col("canon_id").as("ca"))
+      .join(bRows.select(col("band"), col("bk"), col("canon_id").as("cb")), Seq("band", "bk"))
+    (if (selfPairs) joined.filter(col("ca") < col("cb")) else joined)
+      .select("ca", "cb").distinct()
+  }
+
+  /** Verify candidate (ca, cb) canonical pairs and fan verified pairs
+    * back out to members. Two stages: (1) the signature-agreement
+    * pre-screen — candidates join the 16-long `sigs` of both sides
+    * (~130 B/row through the candidate-scale shuffle) and drop below
+    * `agreeFloor`; (2) surviving pairs join the cluster tables'
+    * multi-KB gram arrays for the exact merge-walk Jaccard, and
+    * members expand (identical texts ⇒ identical gram sets ⇒ the
+    * canonical pair's Jaccard).
     */
   private def verifyExpand(
       candidates: DataFrame,
-      aClusters: DataFrame,
-      bClusters: DataFrame,
-      threshold: Double): DataFrame = {
-    val aSide = aClusters.select(col("canon_id").as("ca"),
+      a: Index,
+      b: Index,
+      threshold: Double,
+      agreeFloor: Int): DataFrame = {
+    val floor = if (agreeFloor < 0) defaultAgreeFloor(threshold) else agreeFloor
+    val pre =
+      if (floor <= 0) candidates
+      else candidates
+        .join(a.sigs.select(col("canon_id").as("ca"), col("sig").as("sa")), "ca")
+        .join(b.sigs.select(col("canon_id").as("cb"), col("sig").as("sb")), "cb")
+        .filter(LongPosAgreeCount(col("sa"), col("sb")) >= floor)
+        .select("ca", "cb")
+    val aSide = a.clusters.select(col("canon_id").as("ca"),
       col("hashes").as("ga"), col("members").as("ma"))
-    val bSide = bClusters.select(col("canon_id").as("cb"),
+    val bSide = b.clusters.select(col("canon_id").as("cb"),
       col("hashes").as("gb"), col("members").as("mb"))
-    candidates
+    pre
       .join(aSide, "ca").join(bSide, "cb")
       .withColumn("inter", SortedLongIntersectCount(col("ga"), col("gb")))
       .withColumn("jaccard",
@@ -166,13 +290,14 @@ object NearDup {
       .select(col("da").as("doc_a"), col("db").as("doc_b"), lit(1.0).as("jaccard"))
 
   /** All near-dup pairs in an index (the full-corpus listing). */
-  def indexPairs(index: Index, threshold: Double = 0.6): DataFrame = {
-    val bandRows = index.bandRows
-    val candidates = bandRows.select(col("band"), col("bk"), col("canon_id").as("ca"))
-      .join(bandRows.select(col("band"), col("bk"), col("canon_id").as("cb")), Seq("band", "bk"))
-      .filter(col("ca") < col("cb"))
-      .select("ca", "cb").distinct()
-    verifyExpand(candidates, index.clusters, index.clusters, threshold)
+  def indexPairs(
+      index: Index,
+      threshold: Double = 0.6,
+      agreeFloor: Int = -1,
+      maxBandBucket: Int = Int.MaxValue): DataFrame = {
+    val rows = capped(index.bandRows, maxBandBucket)
+    verifyExpand(candidatesOf(rows, rows, selfPairs = true),
+      index, index, threshold, agreeFloor)
       .unionAll(withinCluster(index.clusters))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -193,36 +318,37 @@ object NearDup {
   def incrementalPairs(
       index: Index,
       newDocs: DataFrame,
-      threshold: Double = 0.6): DataFrame =
-    incrementalPairs(index, buildIndex(newDocs, index.blockCols), threshold)
+      threshold: Double = 0.6,
+      agreeFloor: Int = -1,
+      maxBandBucket: Int = Int.MaxValue): DataFrame =
+    incrementalPairsIndexed(index, buildIndex(newDocs, index.blockCols),
+      threshold, agreeFloor, maxBandBucket)
 
   /** [[incrementalPairs]] with the batch already indexed — callers
     * that both list pairs AND merge (the streaming service) index the
     * batch once and share it.
     */
-  def incrementalPairs(
+  def incrementalPairsIndexed(
       index: Index,
       fresh: Index,
-      threshold: Double): DataFrame = {
-    val nb = fresh.bandRows
-    val newVsOld = nb.select(col("band"), col("bk"), col("canon_id").as("ca"))
-      .join(index.bandRows.select(col("band"), col("bk"), col("canon_id").as("cb")),
-        Seq("band", "bk"))
-      .select("ca", "cb").distinct()
-    val newVsNew = nb.select(col("band"), col("bk"), col("canon_id").as("ca"))
-      .join(nb.select(col("band"), col("bk"), col("canon_id").as("cb")), Seq("band", "bk"))
-      .filter(col("ca") < col("cb"))
-      .select("ca", "cb").distinct()
-    verifyExpand(newVsOld, fresh.clusters, index.clusters, threshold)
-      .unionAll(verifyExpand(newVsNew, fresh.clusters, fresh.clusters, threshold))
+      threshold: Double,
+      agreeFloor: Int = -1,
+      maxBandBucket: Int = Int.MaxValue): DataFrame = {
+    val nb = capped(fresh.bandRows, maxBandBucket)
+    val ob = capped(index.bandRows, maxBandBucket)
+    verifyExpand(candidatesOf(nb, ob, selfPairs = false),
+      fresh, index, threshold, agreeFloor)
+      .unionAll(verifyExpand(candidatesOf(nb, nb, selfPairs = true),
+        fresh, fresh, threshold, agreeFloor))
       .unionAll(withinCluster(fresh.clusters))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Fold a new batch into the index for the next round: clusters with
     * the same (block, fingerprint) merge (members concatenate, canon =
-    * min doc id), and band keys are re-derived from the merged
-    * clusters' STORED hashes — the corpus text is never re-read.
+    * min doc id), and the signature/band tables are re-derived from
+    * the merged clusters' STORED hashes — the corpus text is never
+    * re-read.
     */
   def mergeIndex(index: Index, newDocs: DataFrame): Index =
     mergeIndex(index, buildIndex(newDocs, index.blockCols))
@@ -237,6 +363,6 @@ object NearDup {
         flatten(collect_list(col("members"))).as("members"),
         first(col("hashes")).as("hashes"))
       .persist()
-    Index(merged, bandRowsOf(merged, index.blockCols), index.blockCols)
+    Index(merged, sigsOf(merged, index.blockCols), index.blockCols)
   }
 }

@@ -76,15 +76,13 @@ object NearDupStream {
           onPairs(NearDup.indexPairs(fresh, threshold), epochId)
           index = Some(fresh)
         case Some(old) =>
-          onPairs(NearDup.incrementalPairs(old, fresh, threshold), epochId)
+          onPairs(NearDup.incrementalPairsIndexed(old, fresh, threshold), epochId)
           val merged = NearDup.mergeIndex(old, fresh)
-          // cut the union lineage: clusters re-materialized, bands
+          // cut the union lineage: clusters re-materialized, signatures
           // re-derived from the checkpointed clusters' stored hashes
           val compact = NearDup.indexFromClusters(
             merged.clusters.localCheckpoint(), blockCols)
-          Seq(old, fresh, merged).foreach { i =>
-            i.clusters.unpersist(); i.bandRows.unpersist()
-          }
+          Seq(old, fresh, merged).foreach(_.unpersist())
           index = Some(compact)
       }
     }

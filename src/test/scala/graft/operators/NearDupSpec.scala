@@ -33,6 +33,47 @@ class NearDupSpec extends AnyFunSuite {
     recalled.foreach { k => assert(lsh(k) == exhaustive(k), s"jaccard mismatch for $k") }
   }
 
+  test("signature-agreement pre-screen is lossless on the corpus") {
+    val index = NearDup.buildIndex(graft.Tables(spark, dir).documentsSpread)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val screened = pairSet(NearDup.indexPairs(index, 0.6))
+    val unscreened = pairSet(NearDup.indexPairs(index, 0.6, agreeFloor = 0))
+    // floor 4 = 3σ below the expected agreement at j = 0.6; a true pair
+    // already carries 2 agreements from its matched band, so the
+    // per-pair drop probability is ~6e-5 — zero drops expected here
+    assert(NearDup.defaultAgreeFloor(0.6) == 4)
+    assert(screened == unscreened, "pre-screen changed the verified pair set")
+  }
+
+  test("band-bucket cap is lossless at corpus scale and fires on synthetic skew") {
+    val index = NearDup.buildIndex(graft.Tables(spark, dir).documentsSpread)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // corpus buckets are small (tier-1 collapse): a cap of 64 drops nothing
+    assert(NearDup.droppedBandBuckets(index, 64).isEmpty)
+    assert(pairSet(NearDup.indexPairs(index, 0.6, maxBandBucket = 64)) ==
+      pairSet(NearDup.indexPairs(index, 0.6)))
+
+    // 40 distinct docs sharing a 60-char template + tiny unique tails:
+    // pairwise Jaccard ≈ 1, so every band bucket holds ~40 canonicals —
+    // the quadratic shape the cap exists to bound
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again "
+    val skew = (1L to 40L).map(i => (i, base + s"tail$i", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val skewIdx = NearDup.buildIndex(skew)
+    val report = NearDup.capReport(skewIdx, 8).collect().head
+    assert(report.getLong(0) > 0, "no buckets over cap on the skew corpus")
+    assert(report.getAs[Number]("pairs_dropped").longValue() > 0)
+    val uncapped = pairSet(NearDup.indexPairs(skewIdx, 0.6))
+    val capped = pairSet(NearDup.indexPairs(skewIdx, 0.6, maxBandBucket = 8))
+    // capped output is a subset: the cap drops candidates, never invents
+    assert(capped.keySet.subsetOf(uncapped.keySet))
+    assert(capped.size < uncapped.size, "cap should visibly reduce the skew pair set")
+  }
+
   test("incremental batch equals the full run restricted to new docs") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables(spark, dir).documentsSpread
