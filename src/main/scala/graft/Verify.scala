@@ -21,7 +21,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-
+      // queries that persist() intermediates (q53 clusters/sigs, the
+      // PQ sub-distance tables) would otherwise accumulate cache
+      // entries across all ~117 dumps — bound each query to its own
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

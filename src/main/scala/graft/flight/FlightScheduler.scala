@@ -34,10 +34,14 @@ final class FlightScheduler(
   require(!interval.isZero && !interval.isNegative, "interval must be positive")
 
   /** Run the schedule for `maxRuns` ticks (Int.MaxValue = serve
-    * forever). Returns the gold snapshot path of each SUCCESSFUL run.
+    * forever). Returns the gold snapshot path of each SUCCESSFUL run
+    * for bounded schedules; a serve-forever run returns Nil rather
+    * than accumulating an unbounded path list in memory (callers that
+    * need per-run paths in that mode observe them via `onRun`).
     */
-  def serve(maxRuns: Int): Seq[String] = {
+  def serve(maxRuns: Int, onRun: String => Unit = _ => ()): Seq[String] = {
     val start = clock()
+    val unbounded = maxRuns == Int.MaxValue
     val out = Seq.newBuilder[String]
     var tick = 0L
     var runs = 0
@@ -46,8 +50,11 @@ final class FlightScheduler(
       val now = clock()
       val wait = Duration.between(now, due)
       if (!wait.isNegative && !wait.isZero) sleep(wait)
-      try out += pipeline.run(due)
-      catch { case scala.util.control.NonFatal(e) => onError(due, e) }
+      try {
+        val path = pipeline.run(due)
+        if (!unbounded) out += path
+        onRun(path)
+      } catch { case scala.util.control.NonFatal(e) => onError(due, e) }
       runs += 1
       // next tick strictly after the CURRENT wall clock: overruns skip
       // missed ticks instead of firing a catch-up burst

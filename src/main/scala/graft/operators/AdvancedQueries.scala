@@ -37,11 +37,21 @@ object AdvancedQueries {
     },
 
     // ------------------------------------------------------------------
-    // q43 — HLL-sketch approximate distinct: engines' sketches differ,
-    // so the driver records rows-only; the exact companion columns are
-    // hash-checked as q62, and sketch accuracy vs exact is covered in
-    // AdvancedOpsSpec.
-    QueryDef.rowsOnly("q43_approx_distinct") { (s, dir) =>
+    // q43 — HLL-sketch approximate distinct, made ORACLE-ABLE as a
+    // self-judging gate (the q89 pattern): the sketch VALUE is
+    // engine-specific, but its accuracy contract is not — Spark
+    // re-checks |approx − exact| / exact ≤ 5% (five relative standard
+    // deviations at rsd = 0.01; measured error here is 0.65%) and
+    // emits the boolean, the oracle emits literal TRUE over the same
+    // exact counts. A sketch regression breaks the hash. Exact
+    // companion: q62.
+    QueryDef.sql(
+      "q43_approx_distinct",
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  TRUE AS sketch_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       // sketch and exact as two separate aggregations joined on the
       // tiny group key: mixing a distinct agg with non-distinct ones
       // in a single agg forces Expand (2× every input row before the
@@ -55,7 +65,9 @@ object AdvancedQueries {
       val exact = li.groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).as("exact_parts"))
       sketch.join(exact, "l_returnflag")
-        .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"), col("n_lines"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n_lines"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("sketch_ok"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -407,12 +419,23 @@ object AdvancedQueries {
     // shape segment-overlap dashboards need (any date range = one
     // register-wise max over ~4 KB/day sketches). Hashing stays in
     // codegen'd SQL (xxhash64); the typed Aggregator only does
-    // register bookkeeping. Rows-only by design (estimates are
-    // engine-specific, the q43 pattern): exact countDistinct rides
-    // along per row, and HllSpec pins the ≤5% error plus the
-    // BIT-EQUAL union identity union(sketch(A),sketch(B)) ==
-    // sketch(A ∪ B).
-    QueryDef.rowsOnly("q111_hll_daily_union") { (s, dir) =>
+    // register bookkeeping. ORACLE-ABLE as a self-judging gate (the
+    // q89 pattern): the estimates are engine-specific, but the
+    // accuracy contract is not — every per-day estimate and the
+    // union estimate must sit within 5% of the exact countDistinct
+    // computed alongside (measured worst error here: 0.8%; HllSpec
+    // additionally pins the BIT-EQUAL union identity
+    // union(sketch(A),sketch(B)) == sketch(A ∪ B)). Spark emits the
+    // bound check as a boolean, the oracle the matching literal.
+    QueryDef.sql(
+      "q111_hll_daily_union",
+      """SELECT day, exact_users, TRUE AS est_ok FROM (
+        |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+        |  FROM events GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+        |ORDER BY day""".stripMargin) { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir).events.select(
         date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
@@ -438,6 +461,9 @@ object AdvancedQueries {
       daily.unionByName(
           allSketch.crossJoin(allExact)
             .select(col("day"), col("est_users"), col("exact_users")))
+        .select(col("day"), col("exact_users"),
+          (abs(col("est_users") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("est_ok"))
         .orderBy(col("day"))
     },
 

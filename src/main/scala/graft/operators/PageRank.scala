@@ -61,6 +61,12 @@ object PageRank {
       // not embed rounds 1..N-1 (the q69 components discipline)
       if (k % checkpointEvery == 0 && k < iters) v = v.localCheckpoint()
     }
-    v
+    // cut the final ranks loose from the cached edge/degree frames
+    // (eager checkpoint materializes first), then release both — an
+    // invocation must not leak two cache entries to its caller
+    val out = v.localCheckpoint()
+    e.unpersist()
+    deg.unpersist()
+    out
   }
 }
