@@ -56,13 +56,21 @@ object RelationalQueries {
       // and only the per-GROUP totals re-enter exact decimal to divide
       // the scale back out (exact rational, then one correctly-rounded
       // double cast — bit-identical to summing decimals directly).
-      // Overflow discipline: per-row products stay primitive longs, but
-      // the scale-4/6 products are summed into a Decimal(38,0) buffer —
-      // sum(long) over pdt6 (≤ ~1.3e11/row) wraps silently past ~7e7
-      // rows PER GROUP, far below the 100 TB target. The scale-2 sums
-      // stay primitive: q2 ≤ 5.1e3 and p2 ≤ 1.1e7 per row bind at
-      // ≥ 8e11 rows in ONE group (> all of lineitem at 100 TB, ~3.7×
-      // headroom even degenerate) — bound pinned in ScaledLongSpec.
+      // Overflow discipline WITHOUT a decimal buffer in the hot path:
+      // each scale-4/6 product is split row-side into primitive (div,
+      // mod) long parts — pd4 = pd4h·1e4 + pd4l with pd4l < 1e4 and
+      // pd4h ≤ 1.1e5; pdt6 = pdt6h·1e6 + pdt6l with pdt6l < 1e6 and
+      // pdt6h ≤ 1.3e5 — so EVERY partial and final sum is a primitive
+      // long (no per-row Decimal allocation; this was +60% on the
+      // whole query when pd4/pdt6 summed into Decimal(38,0) buffers),
+      // and the two part-sums recombine exactly into one Decimal per
+      // GROUP. sum(mod-part) wraps past ~9e14 (scale 4) / ~9e12
+      // (scale 6) rows per group, sum(div-part) past ~8e13 — all far
+      // beyond total 100 TB lineitem rows (~6e11) even with every row
+      // in one group. The scale-2 sums stay single primitive longs:
+      // q2 ≤ 5.1e3 and p2 ≤ 1.1e7 per row bind at ≥ 8e11 rows in ONE
+      // group (~3.7× headroom degenerate) — bounds pinned in
+      // ScaledLongSpec.
       val li = Tables(s, dir).lineitem
       def cents(c: Column): Column = round(c * 100).cast(LongType)
       val p = cents(col("l_extendedprice"))
@@ -71,16 +79,21 @@ object RelationalQueries {
       val t100 = lit(100L) + cents(col("l_tax"))
       def unscale(sumCol: Column, scale: Int): Column =
         dbl(sumCol.cast(DecimalType(38, 0)) / math.pow(10, scale).toLong)
-      def sumDec(c: Column): Column = sum(c.cast(DecimalType(38, 0)))
+      // exact per-group recombination of the split long sums
+      def combine(hi: Column, lo: Column, m: Long): Column =
+        sum(hi).cast(DecimalType(38, 0)) * lit(m) + sum(lo).cast(DecimalType(38, 0))
       li.filter(col("l_shipdate") <= ts("2001-09-02"))
         .select(col("l_returnflag"), col("l_linestatus"),
           q.as("q2"), p.as("p2"), (p * d100).as("pd4"), (p * d100 * t100).as("pdt6"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("q2"), col("p2"),
+          expr("pd4 div 10000").as("pd4h"), (col("pd4") % 10000L).as("pd4l"),
+          expr("pdt6 div 1000000").as("pdt6h"), (col("pdt6") % 1000000L).as("pdt6l"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           unscale(sum(col("q2")), 2).as("sum_qty"),
           unscale(sum(col("p2")), 2).as("sum_base_price"),
-          unscale(sumDec(col("pd4")), 4).as("sum_disc_price"),
-          unscale(sumDec(col("pdt6")), 6).as("sum_charge"),
+          unscale(combine(col("pd4h"), col("pd4l"), 10000L), 4).as("sum_disc_price"),
+          unscale(combine(col("pdt6h"), col("pdt6l"), 1000000L), 6).as("sum_charge"),
           (unscale(sum(col("q2")), 2) / count(lit(1))).as("avg_qty"),
           (unscale(sum(col("p2")), 2) / count(lit(1))).as("avg_price"),
           count(lit(1)).as("count_order"))

@@ -47,6 +47,35 @@ class ScaledLongSpec extends AnyFunSuite {
     assert(java.math.BigDecimal.valueOf(row.getLong(0)).compareTo(row.getDecimal(1)) == 0)
   }
 
+  test("split-long sums recombine to the exact decimal sum (q01 hybrid path)") {
+    // q01's hot path sums (div, mod) long parts instead of a decimal
+    // buffer: hi·M + lo recombined per group must equal the direct
+    // decimal sum bit-for-bit, including at magnitudes where a single
+    // primitive sum would already have wrapped
+    val rng = new scala.util.Random(11)
+    val m = 1000000L
+    val df = Seq.fill(5000)(math.abs(rng.nextLong()) % 130000000000L).toDF("pdt6")
+    val row = df
+      .select(expr("pdt6 div 1000000").as("hi"), (col("pdt6") % m).as("lo"), col("pdt6"))
+      .agg(
+        (sum(col("hi")).cast(DecimalType(38, 0)) * lit(m)
+          + sum(col("lo")).cast(DecimalType(38, 0))).as("split_sum"),
+        sum(col("pdt6").cast(DecimalType(38, 0))).as("dec_sum")).head()
+    assert(row.getDecimal(0).compareTo(row.getDecimal(1)) == 0)
+  }
+
+  test("headroom arithmetic behind the q01 split-part sums") {
+    val longMax = BigDecimal(Long.MaxValue)
+    // pdt6 split at 1e6: lo < 1e6 wraps past ~9.2e12 rows/group; hi ≤
+    // 1.3e5 wraps past ~7e13 — both clear total 100 TB lineitem rows
+    // (~7e11) even with every row in one group
+    assert(BigDecimal(1e6) * rowsAt100TB < longMax)
+    assert(BigDecimal(1.3e5) * rowsAt100TB < longMax)
+    // pd4 split at 1e4: lo < 1e4, hi ≤ 1.2e5 — same conclusion
+    assert(BigDecimal(1e4) * rowsAt100TB < longMax)
+    assert(BigDecimal(1.2e5) * rowsAt100TB < longMax)
+  }
+
   test("headroom arithmetic behind which sums stay primitive") {
     val longMax = BigDecimal(Long.MaxValue)
     // q01 pdt6 (price*disc*tax cents, scale 6): ≤ ~1.3e11/row. Wraps
