@@ -132,45 +132,48 @@ object AdvancedQueries {
     },
 
     // ------------------------------------------------------------------
-    // q60 — multimodal featurize end-to-end: corpus wrapped as opaque
-    // media rows (payload = UTF-8 bytes), partition-local decode stub
-    // → fixed-size feature vectors, aggregated per byte-length bucket.
-    // The stub is deterministic byte arithmetic (feature 1 = mean of
-    // the first octile's bytes, float32 division), so the oracle
-    // re-derives it in SQL by hex-decoding the payload — the hash
-    // check covers the whole binary-column path: encode → partition-
-    // local decode → feature extraction → aggregation. Aggregates are
-    // float-deterministic (min/max, integer sums — no double
-    // accumulation ordering).
+    // q60 — multimodal featurize end-to-end with a REAL decode: the
+    // corpus is wrapped as structurally valid PNG payloads (signature,
+    // big-endian IHDR with width = text bytes / height = doc_id mod
+    // 240 + 1, CRC-32, then an IDAT chunk carrying the text —
+    // [[graft.multimodal.MultimodalOps.asPngMedia]], built from native
+    // column expressions), and the partition-local featurize PARSES
+    // the headers back ([[MultimodalOps.decodePng]]: signature check,
+    // chunk walk, CRC validation). The oracle recomputes the planted
+    // width/height/pixel values straight from the table, so the hash
+    // only matches if every parsed field — offsets, endianness, CRC —
+    // round-trips exactly; features are cast back to integer types
+    // before aggregation so sums are order-independent.
     QueryDef.sql(
       "q60_multimodal_features",
       """WITH d AS (
-        |  SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-        |    hex(encode(text)) AS h,
-        |    GREATEST(1, CAST(octet_length(encode(text)) AS INTEGER) // 8) AS chunk
-        |  FROM documents),
-        |f AS (
-        |  SELECT doc_id, byte_len,
-        |    CASE WHEN byte_len = 0 THEN CAST(0 AS REAL) ELSE
-        |      CAST(CAST(list_sum(list_transform(range(1, chunk + 1), i ->
-        |        16 * (strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1)
-        |           + (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1))) AS REAL)
-        |        / CAST(chunk AS REAL) AS REAL) END AS f1
-        |  FROM d)
-        |SELECT CAST(FLOOR(byte_len/100.0) AS INTEGER) AS len_bucket,
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS w,
+        |    CAST(doc_id % 240 + 1 AS INTEGER) AS h
+        |  FROM documents)
+        |SELECT CAST(w // 100 AS INTEGER) AS len_bucket,
         |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  MIN(f1) AS min_f1, MAX(f1) AS max_f1,
-        |  CAST(SUM(byte_len) AS BIGINT) AS sum_bytes
-        |FROM f GROUP BY len_bucket ORDER BY len_bucket""".stripMargin) { (s, dir) =>
-      val media = graft.multimodal.MultimodalOps.asMedia(Tables(s, dir).documents)
+        |  CAST(MIN(w) AS REAL) AS min_w, CAST(MAX(w) AS REAL) AS max_w,
+        |  CAST(MIN(h) AS REAL) AS min_h, CAST(MAX(h) AS REAL) AS max_h,
+        |  CAST(SUM(CAST(w AS BIGINT) * h) AS BIGINT) AS sum_pixels,
+        |  CAST(COUNT(*) AS BIGINT) AS n_png
+        |FROM d GROUP BY len_bucket ORDER BY len_bucket""".stripMargin) { (s, dir) =>
+      val media = graft.multimodal.MultimodalOps.asPngMedia(Tables(s, dir).documents)
       val feats = graft.multimodal.MultimodalOps.featurize(s, media)
       feats.toDF()
-        .groupBy(floor(col("byte_len") / 100).cast("int").as("len_bucket"))
+        .select(
+          element_at(col("features"), 1).as("w"),
+          element_at(col("features"), 2).as("h"),
+          element_at(col("features"), 5).cast("long").as("px"),
+          element_at(col("features"), 6).cast("long").as("is_png"))
+        .groupBy((col("w") / 100).cast("int").as("len_bucket"))
         .agg(
           count(lit(1)).as("n"),
-          min(element_at(col("features"), 1)).as("min_f1"),
-          max(element_at(col("features"), 1)).as("max_f1"),
-          sum(col("byte_len")).as("sum_bytes"))
+          min(col("w")).as("min_w"), max(col("w")).as("max_w"),
+          min(col("h")).as("min_h"), max(col("h")).as("max_h"),
+          sum(col("px")).as("sum_pixels"),
+          // every payload must have parsed as PNG with a valid CRC —
+          // a fallback-path row would make n_png < n and break the hash
+          sum(col("is_png")).as("n_png"))
         .orderBy(col("len_bucket"))
     },
 

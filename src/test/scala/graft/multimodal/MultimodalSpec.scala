@@ -34,6 +34,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.forall(_.features.forall(v => v >= 0f && v <= 255f)))
   }
 
+  test("asPngMedia payloads parse as real PNGs: fields, chunk walk, CRC round-trip") {
+    val media = MultimodalOps.asPngMedia(docs)
+    val rows = media.select("media_id", "payload").collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val p = r.getAs[Array[Byte]](1)
+      val h = MultimodalOps.decodePng(p)
+        .getOrElse(fail(s"payload of doc $id did not parse as PNG"))
+      assert(h.crcOk, s"IHDR CRC mismatch for doc $id")
+      assert(h.height == (id % 240 + 1).toInt)
+      assert(h.bitDepth == 8 && h.colorType == 2)
+      // width and the IDAT chunk length both carry the text byte length
+      assert(h.width == h.nextChunkLen)
+      assert(p.length == 41 + h.width, "signature+IHDR+IDAT framing length")
+    }
+  }
+
+  test("decodePng rejects corrupt signatures and corrupt CRCs") {
+    val media = MultimodalOps.asPngMedia(docs)
+    val good = media.select("payload").head().getAs[Array[Byte]](0)
+    assert(MultimodalOps.decodePng(good).exists(_.crcOk))
+    // flipped signature byte → not a PNG at all
+    val badSig = good.clone(); badSig(0) = 0x42
+    assert(MultimodalOps.decodePng(badSig).isEmpty)
+    // flipped width byte → parses structurally but the stored CRC no
+    // longer matches; decode() must fall back to the octile stub
+    val badCrc = good.clone(); badCrc(19) = (badCrc(19) ^ 0x01).toByte
+    assert(MultimodalOps.decodePng(badCrc).exists(h => !h.crcOk))
+    assert(MultimodalOps.decode(badCrc).sameElements(MultimodalOps.byteOctileFeatures(badCrc)))
+    // truncated prefix → None, octile fallback
+    assert(MultimodalOps.decodePng(good.take(20)).isEmpty)
+  }
+
   test("frameSample: n evenly spaced byte slices") {
     val media = MultimodalOps.asMedia(docs)
     val sampled = media.select(col("media_id"),
