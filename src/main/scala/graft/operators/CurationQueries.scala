@@ -402,6 +402,75 @@ object CurationQueries {
           coalesce(col("shared"), lit(0)).as("shared_ngrams"),
           (coalesce(col("shared"), lit(0)) > 0).as("contaminated"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q112 — EXACT water-filling mixture allocation: given a global
+    // token budget (half the corpus), allocate per-(lang, source)
+    // token quotas a_g = min(t_g, λ) with the unique λ making the
+    // quotas sum to the budget — the data-mixing op that caps
+    // over-represented domains and takes small ones whole (q76's
+    // equal-representation sampler is the special case "budget =
+    // k·min"). Closed form instead of an iterative driver loop: sort
+    // the k domains by token count, and for each rank r the candidate
+    // λ_r = (B − S_{r−1})/(k − r + 1) is valid iff it lands between
+    // the neighboring token counts; exactly one does (ties collapse
+    // to the same λ). Scale shape: the heavy part is the map-side
+    // token count (one scan, partial sums); the water-filling window
+    // runs over k = catalog-sized domain rows, not data — a 100 TB
+    // corpus changes t_g magnitudes, not the algorithm. All λ
+    // arithmetic is exact-integer-into-one-double-division, so both
+    // engines agree bitwise.
+    QueryDef.sql(
+      "q112_mixture_waterfill",
+      """WITH g AS (SELECT lang, source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS t
+        |  FROM documents GROUP BY lang, source),
+        |tot AS (SELECT CAST(SUM(t) // 2 AS BIGINT) AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS k FROM g),
+        |s AS (SELECT lang, source, t,
+        |    ROW_NUMBER() OVER (ORDER BY t, lang, source) AS rn,
+        |    CAST(SUM(t) OVER (ORDER BY t, lang, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(COALESCE(LAG(t) OVER (ORDER BY t, lang, source), 0) AS BIGINT) AS pt
+        |  FROM g),
+        |lamc AS (SELECT MIN(lam) AS lam FROM (
+        |    SELECT CAST(b - (cum - t) AS DOUBLE) / (k - rn + 1) AS lam, t, pt
+        |    FROM s, tot)
+        |  WHERE lam <= CAST(t AS DOUBLE) AND lam >= CAST(pt AS DOUBLE))
+        |SELECT lang, source, t AS tokens,
+        |  LEAST(CAST(t AS DOUBLE), lam) AS alloc_tokens,
+        |  LEAST(CAST(t AS DOUBLE), lam) / t AS sample_rate
+        |FROM s, lamc ORDER BY lang, source""".stripMargin) { (s, dir) =>
+      val g = Tables(s, dir).documentsSpread
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(tokenCount(col("text")).cast(LongType)).as("t"))
+      // single-row scalar side (budget, domain count): the standard
+      // scalar cross join, broadcast by size
+      val tot = g.agg(sum(col("t")).as("tt"), count(lit(1)).as("k"))
+        // integer floor division (`div`), not `/` — Column./ on longs
+        // is double division, which loses exactness past 2^53
+        .select(expr("tt div 2").as("b"), col("k"))
+      // the window is over k = #domains rows (catalog-sized, not
+      // data-sized), so the single-task global sort is safe by design
+      val w = Window.orderBy(col("t"), col("lang"), col("source"))
+      val ranked = g
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cum", sum(col("t")).over(w))
+        .withColumn("pt", coalesce(lag(col("t"), 1).over(w), lit(0L)))
+        .crossJoin(broadcast(tot))
+      val lam = ranked
+        .select(((col("b") - (col("cum") - col("t"))).cast(DoubleType)
+          / (col("k") - col("rn") + 1)).as("lam"),
+          col("t"), col("pt"))
+        .filter(col("lam") <= col("t").cast(DoubleType)
+          && col("lam") >= col("pt").cast(DoubleType))
+        .agg(min(col("lam")).as("lam"))
+      ranked.crossJoin(broadcast(lam))
+        .select(col("lang"), col("source"), col("t").as("tokens"),
+          least(col("t").cast(DoubleType), col("lam")).as("alloc_tokens"),
+          (least(col("t").cast(DoubleType), col("lam")) / col("t")).as("sample_rate"))
+        .orderBy(col("lang"), col("source"))
     }
   )
 

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
-import graft.functions.{CharNgramsDistinct, WordShingles}
+import graft.functions.{CharNgramHashesSorted, CharNgramsDistinct, LongPosAgreeCount, WordShingles}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, DoubleType, FloatType, IntegerType}
@@ -912,6 +912,82 @@ object TextQueries {
           // would silently report n_removed=-1 for clean docs
           size(col("ps2")).cast(IntegerType).as("n_removed"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q113 — the INCREMENTAL dedup contract as a driver-gated query
+    // (q53's daily-crawl shape): the corpus is docs with doc_id % 5
+    // ≠ 0, the arriving batch the rest; incrementalPairs must find
+    // every near-dup pair INVOLVING a batch doc without re-banding
+    // the corpus — cost scales with the batch. Gate shape mirrors
+    // q53's self-judging contract: precision 1.0 and exact Jaccard
+    // against the exhaustive tier restricted to batch-touching pairs,
+    // banding recall ≥ 0.9; the oracle recomputes the restricted
+    // exhaustive count and emits literal TRUEs.
+    QueryDef.sql(
+      "q113_incremental_dedup",
+      s"""WITH pairs AS ($jaccardPairsSql)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_expected,
+         |  TRUE AS precision_ok, TRUE AS jaccard_ok, TRUE AS recall_ok
+         |FROM pairs WHERE doc_a % 5 = 0 OR doc_b % 5 = 0""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir).documentsSpread
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val inc = NearDup.incrementalPairs(NearDup.buildIndex(corpus), batch)
+        .select(col("doc_a"), col("doc_b"), col("jaccard").as("j_lsh"))
+      val ex = jaccardPairs(s, dir)
+        .filter(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0)
+        .select(col("doc_a"), col("doc_b"), col("jaccard").as("j_ex"))
+      inc.join(ex, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          count(col("j_ex")).as("n_ex"),
+          count(when(col("j_ex").isNull, 1)).as("n_phantom"),
+          count(when(col("j_lsh").isNotNull && col("j_ex").isNotNull
+            && col("j_lsh") =!= col("j_ex"), 1)).as("n_mismatch"),
+          count(when(col("j_lsh").isNotNull && col("j_ex").isNotNull, 1)).as("n_both"))
+        .select(
+          col("n_ex").as("n_expected"),
+          (col("n_phantom") === 0).as("precision_ok"),
+          (col("n_mismatch") === 0).as("jaccard_ok"),
+          (col("n_both") >= col("n_ex") * 0.9).as("recall_ok"))
+    },
+
+    // ------------------------------------------------------------------
+    // q114 — MinHash agreement as a Jaccard ESTIMATOR, accuracy-gated
+    // (the statistic behind the near-dup pre-screen): each exhaustive
+    // near-dup pair's 16-seed signature agreement, divided by 16, is
+    // an unbiased Jaccard estimate with σ = √(j(1−j)/16) ≈ 0.12.
+    // Spark recomputes the signatures (same xxhash64-min construction
+    // as [[NearDup]]), scores the agreement with the codegen'd
+    // [[LongPosAgreeCount]] kernel, and self-judges the mean absolute
+    // error over all exhaustive pairs against 0.15 — a ~7σ margin on
+    // the sample mean, so the boolean is stable, while a broken seed,
+    // kernel, or banding construction lands far outside it. The
+    // oracle recomputes the pair count and emits literal TRUE.
+    QueryDef.sql(
+      "q114_minhash_estimator",
+      s"""WITH pairs AS ($jaccardPairsSql)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, TRUE AS mae_ok
+         |FROM pairs""".stripMargin) { (s, dir) =>
+      val nh = 16
+      val sig = Tables(s, dir).documentsSpread
+        .select(col("doc_id"), explode(CharNgramHashesSorted(col("text"), 3)).as("gh"))
+        .groupBy(col("doc_id"))
+        .agg(
+          min(xxhash64(lit(0), col("gh"))).as("h0"),
+          (1 until nh).map(j => min(xxhash64(lit(j), col("gh"))).as(s"h$j")): _*)
+        .select(col("doc_id"),
+          array((0 until nh).map(j => col(s"h$j")): _*).as("sig"))
+      jaccardPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+        .select(col("jaccard"),
+          (LongPosAgreeCount(col("sa"), col("sb")).cast(DoubleType) / nh).as("est"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          avg(abs(col("est") - col("jaccard"))).as("mae"))
+        .select(col("n_pairs"), (col("mae") <= 0.15).as("mae_ok"))
     }
   )
 }
