@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CharNgramHashesSorted, CharNgramsDistinct, Float32Dot, RollingHash64, SortedLongIntersectCount, StopwordHits, WordShingles}
+import graft.functions.{CharNgramHashesSorted, CharNgramsDistinct, Float32Dot, LongPosAgreeCount, RollingHash64, SortedLongIntersectCount, StopwordHits, WordShingles, ZOrder64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -65,6 +65,14 @@ object GraftExtensions {
     "sorted_long_intersect_count" -> { children =>
       require(children.size == 2, "sorted_long_intersect_count(a, b) takes exactly 2 arguments")
       SortedLongIntersectCount(children.head, children(1))
+    },
+    "long_pos_agree_count" -> { children =>
+      require(children.size == 2, "long_pos_agree_count(a, b) takes exactly 2 arguments")
+      LongPosAgreeCount(children.head, children(1))
+    },
+    "zorder64" -> { children =>
+      require(children.size == 2, "zorder64(a, b) takes exactly 2 arguments")
+      ZOrder64(children.head, children(1))
     })
 
   /** Register on an already-running session (builder-time extensions

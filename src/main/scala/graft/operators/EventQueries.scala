@@ -157,6 +157,51 @@ object EventQueries {
         .agg(sum(col("n")).as("n"),
           sum(col("sv")).cast(DoubleType).as("total_value"))
         .orderBy(col("day"), col("event_type"))
+    },
+
+    // ------------------------------------------------------------------
+    // q115 — Z-order data layout (the lakehouse OPTIMIZE ZORDER BY
+    // shape): events keyed by (user_id, day) get a Morton-interleaved
+    // clustering key ([[graft.functions.ZOrder64]], codegen'd magic-
+    // mask spread), rows are globally ranked by it via
+    // [[DistributedRank]] (range partition + broadcast offsets — no
+    // single-task window sort), and assigned to fixed-size output
+    // "files". Output is each file's (min, max) rectangle in BOTH
+    // dimensions — the min/max footer statistics a scan prunes on:
+    // z-ordering keeps those rectangles small in user AND day
+    // simultaneously, where a single-column sort gives one tight edge
+    // and one full-span edge. The oracle re-derives the interleave
+    // with per-bit integer arithmetic and the identical (z, event_id)
+    // total order, so the hash pins the kernel's exact bit layout.
+    // At 100 TB the global range sort is the one shuffle the layout
+    // job pays by definition; rectangle stats are file-count-sized.
+    QueryDef.sql(
+      "q115_zorder_layout",
+      """WITH e AS (SELECT event_id, CAST(user_id AS BIGINT) AS x,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS y
+        |  FROM events),
+        |z AS (SELECT event_id, x, y,
+        |    CAST(list_sum(list_transform(range(0, 32), i ->
+        |      (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i+1)))) AS BIGINT) AS zv
+        |  FROM e),
+        |r AS (SELECT x, y, ROW_NUMBER() OVER (ORDER BY zv, event_id) AS rn FROM z)
+        |SELECT CAST((rn - 1) // 4096 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+        |  CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events.select(
+        col("event_id"),
+        col("user_id").cast(LongType).as("x"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).cast(LongType).as("y"))
+      val z = e.select(col("event_id"), col("x"), col("y"),
+        graft.functions.ZOrder64(col("x"), col("y")).as("zv"))
+      DistributedRank.rowNumber(z, Nil, Seq("zv", "event_id"))
+        .groupBy(expr("(rn - 1) div 4096").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("bucket"))
     }
   )
 }

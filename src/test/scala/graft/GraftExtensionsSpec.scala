@@ -49,5 +49,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  char_ngram_hashes_sorted('abcdef', 3)) AS n,
         |  size(char_ngram_hashes_sorted('abcdef', 3)) AS sz""".stripMargin).head()
     assert(r.getInt(0) == r.getInt(1))
+    // positionwise agreement: identical arrays agree everywhere,
+    // disjoint ones nowhere
+    assert(spark.sql(
+      "SELECT long_pos_agree_count(array(1L,2L,3L), array(1L,9L,3L)) AS n")
+      .head().getInt(0) == 2)
   }
 }
