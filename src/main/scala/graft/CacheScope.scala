@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Cleanup registry for intermediates persisted inside a query lambda.
+  *
+  * A query that caches a shared sub-plan (an LSH signature, a PQ
+  * sub-distance table) cannot unpersist it before returning — the
+  * returned DataFrame is lazy and the cache is only populated (and
+  * read) when the CALLER runs an action. Routing those persists
+  * through [[scoped]] records them here so the caller can release
+  * every block with one [[drain]] after its action completes.
+  * `graft.Verify` and `graft.Bench` drain after each query; library
+  * callers embedding a query in a longer-lived session should do the
+  * same (or accept LRU eviction pressure).
+  */
+object CacheScope {
+  private val registry = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist `df` and register it for the next [[drain]]. */
+  def scoped(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    registry.add(p)
+    p
+  }
+
+  /** Unpersist (non-blocking) everything registered since the last
+    * drain. Safe to call with nothing registered, and safe to call
+    * after `catalog.clearCache()` (unpersist of an evicted frame is a
+    * no-op). */
+  def drain(): Unit = {
+    var df = registry.poll()
+    while (df != null) {
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      df = registry.poll()
+    }
+  }
+}

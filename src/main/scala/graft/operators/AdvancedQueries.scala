@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CacheScope
+
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
 
@@ -548,9 +550,9 @@ object AdvancedQueries {
          |FROM asg LEFT JOIN removed r ON asg.vec_id = r.vec_id
          |ORDER BY asg.vec_id""".stripMargin) { (s, dir) =>
       import graft.functions.VectorFunctions
-      val asg = SimilarityOps.ivfAssign(Tables(s, dir).embeddings, 16)
-        .withColumn("nsq", VectorFunctions.normSq(col("embedding")))
-        .persist()
+      val asg = CacheScope.scoped(
+        SimilarityOps.ivfAssign(Tables(s, dir).embeddings, 16)
+          .withColumn("nsq", VectorFunctions.normSq(col("embedding"))))
       val a = asg.select(col("cell"), col("vec_id"),
         col("embedding").as("va"), col("nsq").as("ansq"))
       val b = asg.select(col("cell"), col("vec_id").as("bid"),

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CacheScope
+
 import graft.{QueryDef, Tables}
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.expressions.Window
@@ -243,7 +245,7 @@ object SimilarityQueries {
          |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir).embeddings
       val codebook = e.filter(col("vec_id") < 16)
-      val d = pqSubDistances(e, codebook).persist()
+      val d = CacheScope.scoped(pqSubDistances(e, codebook))
       val w0 = Window.partitionBy(col("vec_id"), col("m"))
         .orderBy(col("dist"), col("cid"))
       val codes = d.withColumn("rn", row_number().over(w0))
@@ -324,7 +326,7 @@ object SimilarityQueries {
         .withColumn("prn", row_number().over(pw))
         .filter(col("prn") <= 2)
         .select(col("qid"), col("cid").as("cell"))
-      val d = pqSubDistances(e, e.filter(col("vec_id") < 16)).persist()
+      val d = CacheScope.scoped(pqSubDistances(e, e.filter(col("vec_id") < 16)))
       val w0 = Window.partitionBy(col("vec_id"), col("m"))
         .orderBy(col("dist"), col("cid"))
       val codes = d.withColumn("rn", row_number().over(w0))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.CacheScope
+
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions._
 import graft.functions.{CharNgramHashesSorted, CharNgramsDistinct, LongPosAgreeCount, WordShingles}
@@ -126,7 +128,7 @@ object TextQueries {
     * equi-join over (band, key) replaces two separate band joins.
     */
   private[operators] def lshCandidates(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val sig = minhashSig(s, dir).persist()
+    val sig = CacheScope.scoped(minhashSig(s, dir))
     val bands = sig.select(col("doc_id"), lit(1).as("band"), concat(col("mh1"), col("mh2")).as("bk"))
       .unionAll(sig.select(col("doc_id"), lit(2).as("band"), concat(col("mh3"), col("mh4")).as("bk")))
     val a = bands.select(col("band"), col("bk"), col("doc_id").as("doc_a"))
@@ -316,7 +318,7 @@ object TextQueries {
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       // persisted: the band self-join reads the signature from cache
       // instead of re-running the 32-column sign-sum aggregation twice
-      val sig = simhashSig(s, dir, 32).persist()
+      val sig = CacheScope.scoped(simhashSig(s, dir, 32))
       val half = lit(0xFFFFL)
       val bandRows = sig.select(col("doc_id"), col("simhash"),
         posexplode(array(
@@ -705,9 +707,8 @@ object TextQueries {
          |  AND e1.a = e3.a AND e2.b = e3.b
          |GROUP BY e1.lang, e1.source
          |ORDER BY e1.lang, e1.source""".stripMargin) { (s, dir) =>
-      val e = jaccardPairs(s, dir)
-        .select(col("lang"), col("source"), col("doc_a"), col("doc_b"))
-        .persist()
+      val e = CacheScope.scoped(jaccardPairs(s, dir)
+        .select(col("lang"), col("source"), col("doc_a"), col("doc_b")))
       val ab = e.select(col("lang"), col("source"),
         col("doc_a").as("a"), col("doc_b").as("b"))
       val bc = e.select(col("lang"), col("source"),
