@@ -70,11 +70,15 @@ import org.apache.spark.sql.types.{BinaryType, DoubleType}
   *     their minimum member ([[NearDup.capToHub]]): k−1 hub pairs
   *     instead of k²/2, so a true dup cluster filling the bucket
   *     stays CONNECTED and the transitive closure downstream
-  *     (components, retention, SemDeDup) recovers the same clusters —
-  *     measured at 10× replica scale: hub-star preserves 100% of
-  *     cluster memberships where a drop policy split 3.6% of
-  *     clusters, and at 100× it turns a job that out-spills one box
-  *     (>76 GB shuffle) into a 2 GB / ~20 s run. Reduced volume is
+  *     (components, retention, SemDeDup) recovers the same clusters.
+  *     Measured at 10× replica scale (cap=64): 96.9% of cluster
+  *     partitions bit-identical to the uncapped run (2957 → 2969
+  *     clusters; the splits are gray-zone buckets whose hub fails the
+  *     exact verify that some member–member pairs pass — a drop
+  *     policy loses those buckets' connectivity entirely), and at
+  *     100× the cap turns the ~70 GB-of-shuffle job that out-spills
+  *     one box into a 2.4 GB / ~48 s run that avoids 1.89e9 candidate
+  *     pairs (`NearDupScale /tmp/sf100 -1 64`). Reduced volume is
   *     observable, not silent: [[NearDup.droppedBandBuckets]] lists
   *     every over-cap bucket with its size and
   *     [[NearDup.capReport]] aggregates the saved pair counts for
