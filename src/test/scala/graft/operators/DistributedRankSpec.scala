@@ -48,4 +48,50 @@ class DistributedRankSpec extends AnyFunSuite {
         s"trial $trial groupless mismatch")
     }
   }
+
+  test("valuesAtRanks returns exactly the window-ranked rows at each target") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val rows = Seq.tabulate(400 + rng.nextInt(400)) { i =>
+        val g = if (rng.nextInt(5) > 0) "hot" else s"g${rng.nextInt(4)}"
+        (g, rng.nextInt(20).toLong, i.toLong)
+      }
+      val df = rows.toDF("g", "v", "id")
+      // median-straddling ranks, plus an out-of-range probe that must drop
+      def ranks(n: Long): Seq[Long] = {
+        val h = (n - 1) * 0.5
+        Seq(math.floor(h).toLong + 1, math.ceil(h).toLong + 1, 1L, n, n + 7)
+      }
+      val got = DistributedRank.valuesAtRanks(df, Seq("g"), Seq("v", "id"),
+        ranks, "rn", numPartitions = 3 + trial, outTotal = "n")
+      val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+      val nPer = df.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      val expect = df
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .join(broadcast(nPer), "g")
+        .as[(String, Long, Long, Long, Long)]
+        .collect()
+        .filter { case (_, _, _, rn, n) => ranks(n).filter(k => k >= 1 && k <= n).contains(rn) }
+        .toSet
+      val gotSet = got.select(col("g"), col("v"), col("id"), col("rn"), col("n"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(gotSet == expect, s"trial $trial valuesAtRanks mismatch")
+      // exactly one row per surviving (group, target) — no dupes
+      assert(got.count() == gotSet.size)
+    }
+  }
+
+  test("valuesAtRanks handles the groupless global-quantile shape") {
+    import spark.implicits._
+    val df = (1L to 101L).map(i => (i % 13, i)).toDF("v", "id")
+    val got = DistributedRank.valuesAtRanks(df, Seq.empty, Seq("v", "id"),
+      n => Seq(1L, (n + 1) / 2, n), "rn", numPartitions = 5, outTotal = "n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val sorted = (1L to 101L).map(i => (i % 13, i)).sortBy(identity)
+    val expect = Set(1L, 51L, 101L).map { k =>
+      (sorted(k.toInt - 1)._1, sorted(k.toInt - 1)._2, k, 101L)
+    }
+    assert(got == expect)
+  }
 }
