@@ -577,6 +577,54 @@ object AnalyticsQueries {
           col("med").cast("float").as("med"),
           col("mad").cast("float").as("mad"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // ------------------------------------------------------------------
+    // q116 — equi-depth (equal-height) histogram, the optimizer-stats /
+    // data-profiling shape: 16 buckets of (count, lo, hi) where every
+    // bucket holds n/16 rows. A literal `ntile(16) OVER (ORDER BY ...)`
+    // is a single-partition global sort; instead the bucket BOUNDARIES
+    // are the rows at ntile's bucket-end ranks — ≤15 rows that
+    // [[DistributedRank.valuesAtRanks]] surfaces with one balanced
+    // exchange — and bucket membership is then 15 codegen'd struct
+    // comparisons against those boundary tuples in a second plain
+    // scan + hash aggregate. Ties split exactly as ntile splits them
+    // because the comparison tuple carries the same (l_orderkey,
+    // l_linenumber) tiebreaks the rank order does. Scale: no global
+    // sort anywhere; both passes are full-parallel.
+    QueryDef.sql(
+      "q116_equidepth_hist",
+      """WITH r AS (
+        |  SELECT l_extendedprice AS v, l_orderkey, l_linenumber,
+        |    ntile(16) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+        |  FROM lineitem)
+        |SELECT CAST(bucket AS INTEGER) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(v) AS lo, MAX(v) AS hi
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val k = 16
+      val li = Tables(s, dir).lineitem
+        .select(col("l_extendedprice").as("v"), col("l_orderkey"), col("l_linenumber"))
+      // SQL ntile bucket ends: q = n/k, r = n%k; the first r buckets
+      // hold q+1 rows, the rest q (same arithmetic as q46).
+      def ends(n: Long): Seq[Long] = {
+        val q = n / k; val r = n % k
+        (1L to k - 1).map(i => if (i <= r) i * (q + 1) else r * (q + 1) + (i - r) * q)
+      }
+      val bounds = DistributedRank.valuesAtRanks(li, Nil,
+        Seq("v", "l_orderkey", "l_linenumber"), ends, "rn")
+        .collect() // ≤ k−1 boundary rows
+        .sortBy(_.getAs[Long]("rn"))
+      val tup = struct(col("v"), col("l_orderkey"), col("l_linenumber"))
+      val bucket = bounds.map { b =>
+        val bt = struct(
+          lit(b.getAs[Double]("v")),
+          lit(b.getAs[Long]("l_orderkey")),
+          lit(b.getAs[Int]("l_linenumber")))
+        when(tup > bt, 1).otherwise(0)
+      }.foldLeft(lit(1))(_ + _)
+      li.groupBy(bucket.cast(IntegerType).as("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .orderBy(col("bucket"))
     }
   )
 }

@@ -163,15 +163,17 @@ object ExtendedQueries {
         |WHERE 2 * rn = n OR 2 * rn = n + 1 OR 2 * rn = n + 2
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      val wAll = Window.partitionBy(col("l_returnflag"))
-      Tables(s, dir).lineitem
+      // the oracle's rn-filter solves to: even n → ranks {n/2, n/2+1},
+      // odd n → {(n+1)/2}; valuesAtRanks surfaces exactly those rows
+      // with one balanced exchange (no per-group single-task window —
+      // the 3-group PARTITION BY would otherwise sort 1/3 of the
+      // table per task; see DistributedRank's scaladoc).
+      val li = Tables(s, dir).lineitem
         .select(col("l_returnflag"), col("l_extendedprice"),
-          row_number().over(w).as("rn"), count(lit(1)).over(wAll).as("n"))
-        .filter(col("rn") * 2 === col("n") || col("rn") * 2 === col("n") + 1 ||
-          col("rn") * 2 === col("n") + 2)
+          col("l_orderkey"), col("l_linenumber"))
+      DistributedRank.valuesAtRanks(li, Seq("l_returnflag"),
+        Seq("l_extendedprice", "l_orderkey", "l_linenumber"),
+        n => if (n % 2 == 0) Seq(n / 2, n / 2 + 1) else Seq((n + 1) / 2), "rn")
         .groupBy(col("l_returnflag"))
         .agg((dbl(sum(dec2(col("l_extendedprice")))) / count(lit(1))).as("median_price"))
         .orderBy(col("l_returnflag"))

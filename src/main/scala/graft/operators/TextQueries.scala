@@ -989,6 +989,70 @@ object TextQueries {
           count(lit(1)).as("n_pairs"),
           avg(abs(col("est") - col("jaccard"))).as("mae"))
         .select(col("n_pairs"), (col("mae") <= 0.15).as("mae_ok"))
+    },
+
+    // ------------------------------------------------------------------
+    // q117 — BM25 ranked retrieval (Robertson/Okapi, the Lucene
+    // positive-idf variant): top-10 documents for a 3-term query. One
+    // explode pass folds to a per-doc (dl, tf_t...) row — map-side
+    // combined, one shuffle on doc_id — the corpus constants (N, Σdl,
+    // df_t) reduce to ONE row broadcast back, and the score is a
+    // single fixed-order double expression over exact longs, so the
+    // ranking is bit-deterministic (same discipline as q85's moments;
+    // float32 cast only at output). Scale: no per-term join — terms
+    // are pivoted into conditional sums, so adding query terms widens
+    // one aggregate instead of multiplying scans; TakeOrdered keeps
+    // the top-10 without a global sort.
+    QueryDef.sql(
+      "q117_bm25_topk",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |d AS (SELECT doc_id, COUNT(*) AS dl,
+        |    SUM(CASE WHEN t = 'vector' THEN 1 ELSE 0 END) AS tf0,
+        |    SUM(CASE WHEN t = 'hash' THEN 1 ELSE 0 END) AS tf1,
+        |    SUM(CASE WHEN t = 'scan' THEN 1 ELSE 0 END) AS tf2
+        |  FROM tok GROUP BY doc_id),
+        |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd, CAST(SUM(dl) AS DOUBLE) AS sdl,
+        |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM d)
+        |SELECT doc_id, CAST(
+        |    ln((nd - df0 + 0.5) / (df0 + 0.5) + 1.0) * (CAST(tf0 AS DOUBLE) * 2.2)
+        |      / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sdl / nd)))
+        |  + ln((nd - df1 + 0.5) / (df1 + 0.5) + 1.0) * (CAST(tf1 AS DOUBLE) * 2.2)
+        |      / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sdl / nd)))
+        |  + ln((nd - df2 + 0.5) / (df2 + 0.5) + 1.0) * (CAST(tf2 AS DOUBLE) * 2.2)
+        |      / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sdl / nd)))
+        |  AS REAL) AS bm25
+        |FROM d, s ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val terms = Seq("vector", "hash", "scan")
+      val k1 = 1.2; val b = 0.75
+      val d = DoubleType
+      val tok = Tables(s, dir).documentsSpread
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      val perDoc = tok.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("dl"),
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(col("t") === t, 1L).otherwise(0L)).as(s"tf$i")
+        }: _*)
+      val stats = perDoc.agg(
+        count(lit(1)).cast(d).as("nd"),
+        sum(col("dl")).cast(d).as("sdl") +:
+          terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast(d).as(s"df$i")): _*)
+      val avgdl = col("sdl") / col("nd")
+      def part(i: Int) = {
+        val tf = col(s"tf$i").cast(d)
+        val df = col(s"df$i")
+        log((col("nd") - df + 0.5) / (df + 0.5) + 1.0) *
+          (tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast(d) / avgdl))
+      }
+      perDoc.crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          terms.indices.map(part).reduce(_ + _).cast(FloatType).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(10)
     }
   )
 }
