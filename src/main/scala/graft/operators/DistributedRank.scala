@@ -170,4 +170,81 @@ object DistributedRank {
       if (outTotal.nonEmpty) hits.withColumn(outTotal, col("__tot")) else hits
     withTotal.drop("__pid", "__lrn", "__grn", "__tot")
   }
+
+  /** Distributed exact prefix sum — `SUM(v) OVER (PARTITION BY g
+    * ORDER BY ... ROWS UNBOUNDED PRECEDING)` without the single-task-
+    * per-group window sort, by the same construction as [[rowNumber]]:
+    * range-partition on (group, order), per-(partition, group) sums
+    * collapse to a driver-side prefix, local running sum + broadcast
+    * offset = exact global running sum. The value column must sum
+    * exactly — LongType or DecimalType (doubles would make the result
+    * depend on partition boundaries; refuse them rather than be
+    * quietly nondeterministic). Inclusive of the current row;
+    * subtract the row's own value for the exclusive form.
+    */
+  def runningSum(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      out: String = "cum",
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val sortCols = (groupCols ++ orderCols).map(col)
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = graft.CacheScope.scoped(
+      df.repartitionByRange(n, sortCols: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val sumsDf = ranged
+      .groupBy(col("__pid") +: groupCols.map(col): _*)
+      .agg(sum(col(valueCol)).as("__s"), count(col(valueCol)).as("__c"))
+    val sumType = sumsDf.schema("__s").dataType
+    val isDec = sumType.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+    require(isDec || sumType == LongType,
+      s"runningSum needs an exactly-summable value column (long or decimal); " +
+        s"$valueCol sums to $sumType")
+    val sums = sumsDf.collect()
+    // Offsets carry (prior-partition sum, prior-partition non-null
+    // count): the count disambiguates SQL's null-until-first-value
+    // running-sum semantics — a partition whose local prefix is still
+    // all-null must inherit the prior sum iff any prior value exists.
+    val offRows = sums
+      .groupBy(r => groupCols.map(g => r.getAs[Any](g)))
+      .valuesIterator
+      .flatMap { rows =>
+        var accL = 0L
+        var accD = java.math.BigDecimal.ZERO
+        var accC = 0L
+        rows.sortBy(_.getAs[Int]("__pid")).map { r =>
+          val off: Any = if (isDec) accD else accL
+          val offC = accC
+          r.getAs[Any]("__s") match {
+            case null => ()
+            case d: java.math.BigDecimal => accD = accD.add(d)
+            case d: scala.math.BigDecimal => accD = accD.add(d.bigDecimal)
+            case l: java.lang.Long => accL += l
+          }
+          accC += r.getAs[Long]("__c")
+          Row.fromSeq(r.toSeq.dropRight(2) ++ Seq(off, offC))
+        }
+      }
+      .toSeq
+    val offSchema = StructType(
+      sumsDf.schema.fields.dropRight(2) ++ Seq(
+        StructField("__off", sumType, nullable = false),
+        StructField("__offcnt", LongType, nullable = false)))
+    val offsets = spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*), offSchema)
+    val wRun = Window
+      .partitionBy(col("__pid") +: groupCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsets), "__pid" +: groupCols)
+      .withColumn("__lcum", sum(col(valueCol)).over(wRun))
+      .withColumn(out,
+        when(col("__lcum").isNotNull, col("__lcum") + col("__off"))
+          .otherwise(when(col("__offcnt") > 0, col("__off"))))
+      .drop("__pid", "__off", "__offcnt", "__lcum")
+  }
 }

@@ -202,6 +202,51 @@ object EventQueries {
           min(col("x")).as("min_x"), max(col("x")).as("max_x"),
           min(col("y")).as("min_y"), max(col("y")).as("max_y"))
         .orderBy(col("bucket"))
+    },
+
+    // ------------------------------------------------------------------
+    // q118 — AUC (area under the ROC curve) of `value` as a predictor
+    // of purchase events: the model-evaluation metric every quality-
+    // classifier gate in a curation pipeline reports. Computed by the
+    // Mann–Whitney identity with exact tie handling: collapse to
+    // per-distinct-score (pos, neg) counts, running negative count via
+    // [[DistributedRank.runningSum]] (the distinct-score table is
+    // ~data-sized for a continuous score, so a plain cumulative window
+    // would be ONE task), then
+    //   AUC = Σ pos·(2·cumneg_excl + neg) / (2·P·N)
+    // — all-integer arithmetic until one final double division, so the
+    // result is bit-deterministic. Long headroom: the numerator is
+    // bounded by 2·P·N (< 9.2e18 for P,N up to ~2e9; promote to
+    // DECIMAL(38,0) beyond, as PageRank does).
+    QueryDef.sql(
+      "q118_auc_purchase",
+      """WITH a AS (
+        |  SELECT value AS v,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos,
+        |    SUM(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS neg
+        |  FROM events GROUP BY v),
+        |c AS (
+        |  SELECT pos, neg,
+        |    SUM(neg) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumneg
+        |  FROM a)
+        |SELECT
+        |  CAST(SUM(pos * (2 * (cumneg - neg) + neg)) AS DOUBLE)
+        |    / (2.0 * CAST(SUM(pos) AS DOUBLE) * CAST(SUM(neg) AS DOUBLE)) AS auc,
+        |  CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg
+        |FROM c""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir).events.select(col("value").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("isp"))
+      val a = e.groupBy(col("v")).agg(
+        sum(col("isp")).as("pos"),
+        sum(lit(1L) - col("isp")).as("neg"))
+      DistributedRank.runningSum(a, Nil, Seq("v"), "neg", "cumneg")
+        .agg(
+          sum(col("pos") * (lit(2) * (col("cumneg") - col("neg")) + col("neg"))).as("num2"),
+          sum(col("pos")).as("p"), sum(col("neg")).as("n"))
+        .select(
+          (col("num2").cast(DoubleType) /
+            (lit(2.0) * col("p").cast(DoubleType) * col("n").cast(DoubleType))).as("auc"),
+          col("p").as("n_pos"), col("n").as("n_neg"))
     }
   )
 }

@@ -82,6 +82,36 @@ class DistributedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("runningSum equals the plain cumulative window, long and decimal, with nulls") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val rows = Seq.tabulate(700) { i =>
+      val g = if (rng.nextInt(4) > 0) "hot" else s"g${rng.nextInt(3)}"
+      val v: java.lang.Long = if (rng.nextInt(10) == 0) null else rng.nextInt(100).toLong
+      (g, rng.nextInt(30).toLong, i.toLong, v)
+    }
+    val df = rows.toDF("g", "ord", "id", "v")
+    val w = Window.partitionBy(col("g")).orderBy(col("ord"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val plain = df.withColumn("cum", sum(col("v")).over(w))
+    val dist = DistributedRank.runningSum(df, Seq("g"), Seq("ord", "id"), "v", "cum",
+      numPartitions = 5)
+    assert(plain.exceptAll(dist).count() == 0 && dist.exceptAll(plain).count() == 0)
+    // decimal path (exact sums survive the driver prefix), groupless
+    val ddf = df.withColumn("v", col("v").cast("decimal(12,2)"))
+    val wg = Window.orderBy(col("ord"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val plainD = ddf.withColumn("cum", sum(col("v")).over(wg))
+    val distD = DistributedRank.runningSum(ddf, Nil, Seq("ord", "id"), "v", "cum",
+      numPartitions = 4)
+    assert(plainD.exceptAll(distD).count() == 0 && distD.exceptAll(plainD).count() == 0)
+    // double value columns are refused, not silently nondeterministic
+    intercept[IllegalArgumentException] {
+      DistributedRank.runningSum(df.withColumn("v", col("v").cast("double")),
+        Seq("g"), Seq("ord", "id"), "v")
+    }
+  }
+
   test("valuesAtRanks handles the groupless global-quantile shape") {
     import spark.implicits._
     val df = (1L to 101L).map(i => (i % 13, i)).toDF("v", "id")
