@@ -3,7 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Analytic-SQL breadth: multi-dimensional aggregation (CUBE),
   * navigation windows (lag/lead), distribution windows (ntile),
@@ -625,6 +625,96 @@ object AnalyticsQueries {
       li.groupBy(bucket.cast(IntegerType).as("bucket"))
         .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
         .orderBy(col("bucket"))
+    },
+
+    // ------------------------------------------------------------------
+    // q119 — Gini coefficient of customer spend, the inequality /
+    // data-balance audit stat (a curation pipeline reports it for
+    // source-contribution skew). Discrete form over ranked values:
+    //   G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n
+    // computed WITHOUT ranking every row: collapse to per-distinct-
+    // value counts, cumulative count via the distributed prefix sum
+    // ([[DistributedRank.runningSum]]), and a tied block's rank-sum is
+    // closed-form (cnt·cum_excl + cnt·(cnt+1)/2). Money is scaled to
+    // long cents and the rank-weighted sum accumulates as
+    // DECIMAL(38,0), so everything is exact until one fixed-order
+    // double combination at the end (per-row terms fit a long up to
+    // ~9e18/cents headroom — promote the product to decimal beyond,
+    // as PageRank does). Scale: one shuffle to spend, one to distinct
+    // values, the prefix pass — no global window anywhere.
+    QueryDef.sql(
+      "q119_gini_spend",
+      """WITH c AS (
+        |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |a AS (SELECT cents AS v, COUNT(*) AS cnt FROM c GROUP BY v),
+        |w AS (SELECT v, cnt,
+        |    SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cnt AS cume
+        |  FROM a),
+        |s AS (SELECT
+        |    SUM(v * (cnt * cume + (cnt * (cnt + 1)) // 2)) AS t,
+        |    SUM(cnt) AS n, SUM(v * cnt) AS ss
+        |  FROM w)
+        |SELECT CAST(
+        |    2.0 * CAST(t AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE))
+        |      - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
+        |  AS REAL) AS gini,
+        |  CAST(n AS BIGINT) AS n_customers
+        |FROM s""".stripMargin) { (s, dir) =>
+      val dec38 = DecimalType(38, 0)
+      val spend = Tables(s, dir).orders
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast(LongType).as("cents"))
+      val a = spend.groupBy(col("cents").as("v")).agg(count(lit(1)).as("cnt"))
+      val w = DistributedRank.runningSum(a, Nil, Seq("v"), "cnt", "cuminc")
+        .withColumn("cume", col("cuminc") - col("cnt"))
+      w.agg(
+          sum((col("v") * (col("cnt") * col("cume") +
+            expr("(cnt * (cnt + 1)) div 2"))).cast(dec38)).as("t"),
+          sum(col("cnt")).as("n"),
+          sum((col("v") * col("cnt")).cast(dec38)).as("ss"))
+        .select(
+          (lit(2.0) * col("t").cast(DoubleType) /
+            (col("n").cast(DoubleType) * col("ss").cast(DoubleType)) -
+            (col("n").cast(DoubleType) + 1.0) / col("n").cast(DoubleType))
+            .cast(FloatType).as("gini"),
+          col("n").as("n_customers"))
+    },
+
+    // ------------------------------------------------------------------
+    // q120 — quantity-weighted median price per return flag: the
+    // robust aggregate where each observation carries a weight (the
+    // lower weighted median: smallest value whose cumulative weight
+    // reaches half the total). Same scale discipline as q118/q119:
+    // collapse to per-distinct-value weight sums (exact decimals),
+    // cumulative weight via the GROUPED distributed prefix sum, one
+    // broadcast of per-group totals, and the crossing row is
+    // min-over-filter — no per-group single-task window, no doubles
+    // until output. The 2·cw ≥ W comparison keeps halving integral.
+    QueryDef.sql(
+      "q120_weighted_median",
+      """WITH a AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS w
+        |  FROM lineitem GROUP BY l_returnflag, v),
+        |t AS (SELECT l_returnflag, SUM(w) AS tw FROM a GROUP BY l_returnflag),
+        |c AS (SELECT l_returnflag, v, w,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw
+        |  FROM a)
+        |SELECT c.l_returnflag, MIN(c.v) AS wmedian
+        |FROM c JOIN t ON c.l_returnflag = t.l_returnflag
+        |WHERE 2 * c.cw >= t.tw
+        |GROUP BY c.l_returnflag ORDER BY c.l_returnflag""".stripMargin) { (s, dir) =>
+      val a = Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+        .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).as("w"))
+      DistributedRank.runningSum(a, Seq("l_returnflag"), Seq("v"), "w", "cw",
+        outTotal = "tw")
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("v")).as("wmedian"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

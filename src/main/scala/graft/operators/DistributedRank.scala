@@ -180,7 +180,12 @@ object DistributedRank {
     * exactly — LongType or DecimalType (doubles would make the result
     * depend on partition boundaries; refuse them rather than be
     * quietly nondeterministic). Inclusive of the current row;
-    * subtract the row's own value for the exclusive form.
+    * subtract the row's own value for the exclusive form. When
+    * `outTotal` is non-empty the group's full sum (nulls ignored, 0
+    * if all-null) rides along under that name — crossing-point
+    * consumers (weighted median, CDF) need it and the per-partition
+    * sums already on the driver make it free, where a separate
+    * totals frame would cost another scan and join.
     */
   def runningSum(
       df: DataFrame,
@@ -188,7 +193,8 @@ object DistributedRank {
       orderCols: Seq[String],
       valueCol: String,
       out: String = "cum",
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0,
+      outTotal: String = ""): DataFrame = {
     val spark = df.sparkSession
     val sortCols = (groupCols ++ orderCols).map(col)
     val n = if (numPartitions > 0) numPartitions
@@ -216,7 +222,8 @@ object DistributedRank {
         var accL = 0L
         var accD = java.math.BigDecimal.ZERO
         var accC = 0L
-        rows.sortBy(_.getAs[Int]("__pid")).map { r =>
+        val sorted = rows.sortBy(_.getAs[Int]("__pid"))
+        val rowSeq = sorted.map { r =>
           val off: Any = if (isDec) accD else accL
           val offC = accC
           r.getAs[Any]("__s") match {
@@ -226,25 +233,32 @@ object DistributedRank {
             case l: java.lang.Long => accL += l
           }
           accC += r.getAs[Long]("__c")
-          Row.fromSeq(r.toSeq.dropRight(2) ++ Seq(off, offC))
+          (r, off, offC)
+        }
+        val total: Any = if (isDec) accD else accL
+        rowSeq.map { case (r, off, offC) =>
+          Row.fromSeq(r.toSeq.dropRight(2) ++ Seq(off, offC, total))
         }
       }
       .toSeq
     val offSchema = StructType(
       sumsDf.schema.fields.dropRight(2) ++ Seq(
         StructField("__off", sumType, nullable = false),
-        StructField("__offcnt", LongType, nullable = false)))
+        StructField("__offcnt", LongType, nullable = false),
+        StructField("__gtot", sumType, nullable = false)))
     val offsets = spark.createDataFrame(
       java.util.Arrays.asList(offRows: _*), offSchema)
     val wRun = Window
       .partitionBy(col("__pid") +: groupCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(broadcast(offsets), "__pid" +: groupCols)
+    val cum = ranged.join(broadcast(offsets), "__pid" +: groupCols)
       .withColumn("__lcum", sum(col(valueCol)).over(wRun))
       .withColumn(out,
         when(col("__lcum").isNotNull, col("__lcum") + col("__off"))
           .otherwise(when(col("__offcnt") > 0, col("__off"))))
-      .drop("__pid", "__off", "__offcnt", "__lcum")
+    val withTotal =
+      if (outTotal.nonEmpty) cum.withColumn(outTotal, col("__gtot")) else cum
+    withTotal.drop("__pid", "__off", "__offcnt", "__lcum", "__gtot")
   }
 }

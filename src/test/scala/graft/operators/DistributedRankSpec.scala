@@ -110,6 +110,14 @@ class DistributedRankSpec extends AnyFunSuite {
       DistributedRank.runningSum(df.withColumn("v", col("v").cast("double")),
         Seq("g"), Seq("ord", "id"), "v")
     }
+    // outTotal carries the group's full sum on every row
+    val withTot = DistributedRank.runningSum(df, Seq("g"), Seq("ord", "id"), "v", "cum",
+      numPartitions = 5, outTotal = "tot")
+    val expTot = df.groupBy(col("g")).agg(sum(col("v")).as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotTot = withTot.select(col("g"), col("tot")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotTot == expTot)
   }
 
   test("valuesAtRanks handles the groupless global-quantile shape") {
