@@ -715,6 +715,96 @@ object AnalyticsQueries {
         .groupBy(col("l_returnflag"))
         .agg(min(col("v")).as("wmedian"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // ------------------------------------------------------------------
+    // q127 — 2-D SKYLINE (Pareto frontier) of parts maximizing
+    // (retailprice, size): a part survives iff nothing dominates it
+    // (≥ in both dims, > in one). The naive form is a quadratic
+    // NOT-EXISTS self-join; the sweep form is linear — collapse to
+    // per-price max size (one hash agg), walk prices descending
+    // keeping the EXCLUSIVE running max of size
+    // ([[DistributedRank.runningMax]], so the walk is distributed
+    // over the distinct-price table, never one task), and a price
+    // tier survives iff its max size beats every strictly-higher
+    // tier's. Points at a surviving tier's max size are the skyline
+    // (equal twins both stay — neither strictly dominates). Price
+    // compares as exact DECIMAL on both engines.
+    QueryDef.sql(
+      "q127_skyline_parts",
+      """WITH p AS (
+        |  SELECT p_partkey, CAST(p_size AS BIGINT) AS sz,
+        |    CAST(p_retailprice AS DECIMAL(12,2)) AS price
+        |  FROM part),
+        |g AS (SELECT price, MAX(sz) AS gmax FROM p GROUP BY price),
+        |e AS (SELECT price, gmax, MAX(gmax) OVER (ORDER BY price DESC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1 FROM g),
+        |sv AS (SELECT price, gmax FROM e WHERE m1 IS NULL OR gmax > m1)
+        |SELECT p.p_partkey, CAST(p.price AS DOUBLE) AS price, p.sz
+        |FROM p JOIN sv USING (price) WHERE p.sz = sv.gmax
+        |ORDER BY price DESC, p.p_partkey""".stripMargin) { (s, dir) =>
+      val p = Tables(s, dir).part.select(
+        col("p_partkey"),
+        col("p_size").cast(LongType).as("sz"),
+        col("p_retailprice").cast(DecimalType(12, 2)).as("price"))
+      val g = p.groupBy(col("price")).agg(max(col("sz")).as("gmax"))
+        .withColumn("negp", negate(col("price")))
+      val sv = DistributedRank.runningMax(g, Nil, Seq("negp"), "gmax", "m1",
+        exclusive = true)
+        .filter(col("m1").isNull || col("gmax") > col("m1"))
+        .select(col("price"), col("gmax"))
+      p.join(sv, "price").filter(col("sz") === col("gmax"))
+        .select(col("p_partkey"), col("price").cast(DoubleType).as("price"), col("sz"))
+        .orderBy(col("price").desc, col("p_partkey"))
+    },
+
+    // ------------------------------------------------------------------
+    // q128 — CO-PURCHASE LIFT (market basket): part pairs appearing in
+    // the same order, scored by lift = P(a,b) / (P(a)·P(b)). The pair
+    // explosion is a self-join of the deduped (order, part) table ON
+    // THE ORDER KEY — co-partitioned, and bounded by per-order basket
+    // size (≈4–7 lines at any TPC-H scale), so pair volume stays a
+    // small constant × |lineitem| at 100 TB; the item-count sides are
+    // item-domain-sized — that domain GROWS with SF, so they join
+    // hint-free (AQE broadcasts them while they fit, shuffles when
+    // the catalog outgrows an executor). Lift is one double
+    // division of exact longs (correctly rounded, engine-identical);
+    // ranking tiebreaks on the pair itself.
+    QueryDef.sql(
+      "q128_copurchase_lift",
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b),
+        |ic AS (SELECT l_partkey, COUNT(*) AS c FROM b GROUP BY 1),
+        |pr AS (
+        |  SELECT a.l_partkey AS pa, b2.l_partkey AS pb, COUNT(*) AS cab
+        |  FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+        |    AND a.l_partkey < b2.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT pa, pb, CAST(cab AS BIGINT) AS support,
+        |  CAST(cab * n_orders AS DOUBLE) / (ca.c * cb.c) AS lift
+        |FROM pr JOIN ic ca ON ca.l_partkey = pa JOIN ic cb ON cb.l_partkey = pb
+        |CROSS JOIN n
+        |WHERE cab >= 2
+        |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin) { (s, dir) =>
+      val b = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val n = b.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      val ic = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      val pr = b.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(b.select(col("l_orderkey"), col("l_partkey").as("pb")), "l_orderkey")
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 2)
+      pr.join(ic.withColumnRenamed("l_partkey", "pa")
+          .withColumnRenamed("c", "ca"), "pa")
+        .join(ic.withColumnRenamed("l_partkey", "pb")
+          .withColumnRenamed("c", "cb"), "pb")
+        .crossJoin(broadcast(n))
+        .select(col("pa"), col("pb"), col("cab").as("support"),
+          ((col("cab") * col("n_orders")).cast(DoubleType) /
+            (col("ca") * col("cb"))).as("lift"))
+        .orderBy(col("lift").desc, col("pa"), col("pb"))
+        .limit(20)
     }
   )
 }

@@ -185,7 +185,13 @@ object DistributedRank {
     * if all-null) rides along under that name — crossing-point
     * consumers (weighted median, CDF) need it and the per-partition
     * sums already on the driver make it free, where a separate
-    * totals frame would cost another scan and join.
+    * totals frame would cost another scan and join. When `outRank`
+    * is non-empty the row's global 1-based rank under the same
+    * ordering rides along too (crossing-point consumers — coverage
+    * curves, CDF inversion — need "how many rows to reach mass X",
+    * and the per-partition row counts are already on the driver, so
+    * this costs one extra long per offset row instead of a second
+    * [[rowNumber]] exchange over the data).
     */
   def runningSum(
       df: DataFrame,
@@ -194,7 +200,8 @@ object DistributedRank {
       valueCol: String,
       out: String = "cum",
       numPartitions: Int = 0,
-      outTotal: String = ""): DataFrame = {
+      outTotal: String = "",
+      outRank: String = ""): DataFrame = {
     val spark = df.sparkSession
     val sortCols = (groupCols ++ orderCols).map(col)
     val n = if (numPartitions > 0) numPartitions
@@ -204,7 +211,8 @@ object DistributedRank {
         .withColumn("__pid", spark_partition_id()))
     val sumsDf = ranged
       .groupBy(col("__pid") +: groupCols.map(col): _*)
-      .agg(sum(col(valueCol)).as("__s"), count(col(valueCol)).as("__c"))
+      .agg(sum(col(valueCol)).as("__s"), count(col(valueCol)).as("__c"),
+        count(lit(1)).as("__call"))
     val sumType = sumsDf.schema("__s").dataType
     val isDec = sumType.isInstanceOf[org.apache.spark.sql.types.DecimalType]
     require(isDec || sumType == LongType,
@@ -222,10 +230,12 @@ object DistributedRank {
         var accL = 0L
         var accD = java.math.BigDecimal.ZERO
         var accC = 0L
+        var accR = 0L
         val sorted = rows.sortBy(_.getAs[Int]("__pid"))
         val rowSeq = sorted.map { r =>
           val off: Any = if (isDec) accD else accL
           val offC = accC
+          val offR = accR
           r.getAs[Any]("__s") match {
             case null => ()
             case d: java.math.BigDecimal => accD = accD.add(d)
@@ -233,18 +243,20 @@ object DistributedRank {
             case l: java.lang.Long => accL += l
           }
           accC += r.getAs[Long]("__c")
-          (r, off, offC)
+          accR += r.getAs[Long]("__call")
+          (r, off, offC, offR)
         }
         val total: Any = if (isDec) accD else accL
-        rowSeq.map { case (r, off, offC) =>
-          Row.fromSeq(r.toSeq.dropRight(2) ++ Seq(off, offC, total))
+        rowSeq.map { case (r, off, offC, offR) =>
+          Row.fromSeq(r.toSeq.dropRight(3) ++ Seq(off, offC, offR, total))
         }
       }
       .toSeq
     val offSchema = StructType(
-      sumsDf.schema.fields.dropRight(2) ++ Seq(
+      sumsDf.schema.fields.dropRight(3) ++ Seq(
         StructField("__off", sumType, nullable = false),
         StructField("__offcnt", LongType, nullable = false),
+        StructField("__roff", LongType, nullable = false),
         StructField("__gtot", sumType, nullable = false)))
     val offsets = spark.createDataFrame(
       java.util.Arrays.asList(offRows: _*), offSchema)
@@ -259,6 +271,63 @@ object DistributedRank {
           .otherwise(when(col("__offcnt") > 0, col("__off"))))
     val withTotal =
       if (outTotal.nonEmpty) cum.withColumn(outTotal, col("__gtot")) else cum
-    withTotal.drop("__pid", "__off", "__offcnt", "__lcum", "__gtot")
+    val withRank =
+      if (outRank.nonEmpty)
+        withTotal.withColumn(outRank,
+          row_number().over(Window
+            .partitionBy(col("__pid") +: groupCols.map(col): _*)
+            .orderBy(orderCols.map(col): _*)).cast(LongType) + col("__roff"))
+      else withTotal
+    withRank.drop("__pid", "__off", "__offcnt", "__roff", "__lcum", "__gtot")
+  }
+
+  /** Distributed exact prefix max — `MAX(v) OVER (PARTITION BY g
+    * ORDER BY … ROWS UNBOUNDED PRECEDING)` by the [[runningSum]]
+    * construction. Unlike the sum, max is exact for ANY orderable
+    * type (no rounding to accumulate), so there is no long/decimal
+    * restriction — and the cross-partition offsets need no driver
+    * arithmetic at all: the per-(partition, group) max table is ≤
+    * numPartitions × #groups rows, so its exclusive prefix max is a
+    * window over a broadcast-sized frame, not over the data. Null
+    * semantics match SQL (nulls ignored; null until the first value).
+    * Inclusive of the current row by default; `exclusive = true`
+    * gives `ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING` (null
+    * on each group's first row) — the form dominance sweeps need,
+    * where a row is compared against the envelope of STRICTLY
+    * preceding rows. The skyline/Pareto sweep (q127) and
+    * staircase-envelope shapes ride this.
+    */
+  def runningMax(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      out: String = "rmax",
+      numPartitions: Int = 0,
+      exclusive: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val sortCols = (groupCols ++ orderCols).map(col)
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = graft.CacheScope.scoped(
+      df.repartitionByRange(n, sortCols: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val maxes = ranged
+      .groupBy(col("__pid") +: groupCols.map(col): _*)
+      .agg(max(col(valueCol)).as("__m"))
+    // Exclusive prefix max across partitions, per group — a window
+    // over the tiny per-partition max table (nothing data-sized).
+    val wPrev = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = maxes.withColumn("__off", max(col("__m")).over(wPrev)).drop("__m")
+    val wRun = Window
+      .partitionBy(col("__pid") +: groupCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding,
+        if (exclusive) -1 else Window.currentRow)
+    ranged.join(broadcast(offsets), "__pid" +: groupCols)
+      .withColumn(out, greatest(max(col(valueCol)).over(wRun), col("__off")))
+      .drop("__pid", "__off")
   }
 }

@@ -247,6 +247,140 @@ object EventQueries {
           (col("num2").cast(DoubleType) /
             (lit(2.0) * col("p").cast(DoubleType) * col("n").cast(DoubleType))).as("auc"),
           col("p").as("n_pos"), col("n").as("n_neg"))
+    },
+
+    // ------------------------------------------------------------------
+    // q125 — 7-day ROLLING exact distinct users per day: the sliding-
+    // window distinct that plain windows can't express (COUNT(DISTINCT)
+    // OVER a RANGE frame is unsupported in both engines) and self-joins
+    // do quadratically. Shape: dedup to (day, user) pairs FIRST (one
+    // partial+final distinct, corpus → active-pairs-sized), then each
+    // pair map-side explodes into the ≤7 window anchors it serves, and
+    // one distinct aggregation per anchor counts — amplification is the
+    // constant window length, never the data. At 100 TB the same plan
+    // holds with the day-dedup absorbing the volume; when windows get
+    // long (90d) the mergeable-sketch path (q111's HLL per day, union 90
+    // registers) replaces exactness. Anchors are clamped to days that
+    // exist so both engines range over the same calendar.
+    QueryDef.sql(
+      "q125_rolling_distinct_users",
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |roll AS (
+        |  SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS users_7d
+        |  FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY d.day),
+        |one AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS users_1d FROM du GROUP BY day)
+        |SELECT CAST(day AS TIMESTAMP) AS day, users_7d, users_1d
+        |FROM roll JOIN one USING (day)
+        |ORDER BY day""".stripMargin) { (s, dir) =>
+      val du = Tables(s, dir).events
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = du.select(col("day")).distinct()
+      val roll = du
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("users_7d"))
+      val one = du.groupBy(col("day")).agg(count(lit(1)).as("users_1d"))
+      roll.join(one, "day")
+        .withColumn("day", col("day").cast(TimestampType))
+        .orderBy(col("day"))
+    },
+
+    // ------------------------------------------------------------------
+    // q126 — PEAK CONCURRENCY per day (how many user sessions overlap
+    // at the busiest instant): the classic interval-stabbing question,
+    // answered by a sweep line — each session [start, end] becomes a
+    // +1 and a −1 point, the running sum over time IS the concurrency
+    // curve, and its per-day max is the answer. The cumulative pass
+    // rides [[DistributedRank.runningSum]], so no day ever becomes a
+    // one-task window sort no matter how many sessions it holds; ties
+    // order starts before ends (a session ending at instant t still
+    // overlaps one starting at t) and break on user_id for a total
+    // order. Sessions here are each user's daily active interval
+    // (min..max event ts).
+    QueryDef.sql(
+      "q126_peak_concurrency",
+      """WITH s AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
+        |    MIN(ts) AS st, MAX(ts) AS en
+        |  FROM events GROUP BY 1, 2),
+        |pts AS (
+        |  SELECT day, st AS t, 0 AS k, user_id, 1 AS delta FROM s
+        |  UNION ALL
+        |  SELECT day, en AS t, 1 AS k, user_id, -1 AS delta FROM s),
+        |c AS (
+        |  SELECT day, SUM(delta) OVER (PARTITION BY day
+        |    ORDER BY t, k, user_id ROWS UNBOUNDED PRECEDING) AS conc
+        |  FROM pts),
+        |ns AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM s GROUP BY day)
+        |SELECT CAST(day AS TIMESTAMP) AS day,
+        |  CAST(MAX(conc) AS BIGINT) AS peak_concurrency, n_sessions
+        |FROM c JOIN ns USING (day) GROUP BY day, n_sessions
+        |ORDER BY day""".stripMargin) { (s, dir) =>
+      val sess = Tables(s, dir).events
+        .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+      val pts = sess.select(col("day"), col("st").as("t"), lit(0).as("k"),
+          col("user_id"), lit(1L).as("delta"))
+        .unionByName(sess.select(col("day"), col("en").as("t"), lit(1).as("k"),
+          col("user_id"), lit(-1L).as("delta")))
+      val conc = DistributedRank.runningSum(pts, Seq("day"),
+        Seq("t", "k", "user_id"), "delta", "conc")
+      val peaks = conc.groupBy(col("day"))
+        .agg(max(col("conc")).as("peak_concurrency"))
+      val ns = sess.groupBy(col("day")).agg(count(lit(1)).as("n_sessions"))
+      peaks.join(ns, "day")
+        .withColumn("day", col("day").cast(TimestampType))
+        .orderBy(col("day"))
+    },
+
+    // ------------------------------------------------------------------
+    // q129 — day-over-day retention via SORTED-SET intersection: the
+    // exact-bitmap pattern (ClickHouse groupBitmap / roaring-bitmap
+    // retention) with a sorted long array as the set carrier — one
+    // aggregation builds each day's distinct-user set (partial-merged
+    // map-side like any mergeable sketch), adjacent days pair by a
+    // calendar self-join of the DAY-SIZED set table, and the overlap
+    // is [[graft.functions.SortedLongIntersectCount]]'s codegen'd
+    // merge walk — no re-explosion of users into an equi-join. Scale
+    // contract: a day's set must fit one aggregation buffer (true of
+    // real bitmap aggs too); when a slice's cardinality outgrows
+    // that, the mergeable-HLL path (q111) replaces exactness. Days
+    // appear iff their NEXT day has activity; a present-but-disjoint
+    // pair correctly reports 0.
+    QueryDef.sql(
+      "q129_retention_sets",
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        |  FROM events),
+        |a AS (SELECT day, COUNT(*) AS c FROM du GROUP BY day),
+        |nx AS (SELECT DISTINCT day - 1 AS day FROM du),
+        |r AS (
+        |  SELECT x.day, COUNT(*) AS retained FROM du x
+        |  JOIN du y ON y.user_id = x.user_id AND y.day = x.day + 1
+        |  GROUP BY x.day)
+        |SELECT CAST(a.day AS TIMESTAMP) AS day, CAST(a.c AS BIGINT) AS actives,
+        |  CAST(COALESCE(r.retained, 0) AS BIGINT) AS retained_next,
+        |  CAST(COALESCE(r.retained, 0) AS DOUBLE) / a.c AS retention
+        |FROM a JOIN nx USING (day) LEFT JOIN r USING (day)
+        |ORDER BY a.day""".stripMargin) { (s, dir) =>
+      val sets = Tables(s, dir).events
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sort_array(collect_set(col("user_id"))).as("us"))
+      val next = sets.select(date_sub(col("day"), 1).as("day"), col("us").as("us1"))
+      sets.join(next, "day")
+        .select(col("day"), size(col("us")).cast(LongType).as("actives"),
+          graft.functions.SortedLongIntersectCount(col("us"), col("us1"))
+            .cast(LongType).as("retained_next"))
+        .withColumn("retention",
+          col("retained_next").cast(DoubleType) / col("actives"))
+        .withColumn("day", col("day").cast(TimestampType))
+        .orderBy(col("day"))
     }
   )
 }

@@ -120,6 +120,56 @@ class DistributedRankSpec extends AnyFunSuite {
     assert(gotTot == expTot)
   }
 
+  test("runningSum outRank equals the plain window row_number") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val rows = Seq.tabulate(600) { i =>
+      val g = if (rng.nextInt(4) > 0) "hot" else s"g${rng.nextInt(3)}"
+      val v: java.lang.Long = if (rng.nextInt(10) == 0) null else rng.nextInt(100).toLong
+      (g, rng.nextInt(30).toLong, i.toLong, v)
+    }
+    val df = rows.toDF("g", "ord", "id", "v")
+    val w = Window.partitionBy(col("g")).orderBy(col("ord"), col("id"))
+    val plain = df
+      .withColumn("cum", sum(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rk", row_number().over(w).cast("long"))
+    val dist = DistributedRank.runningSum(df, Seq("g"), Seq("ord", "id"), "v", "cum",
+      numPartitions = 5, outRank = "rk")
+    assert(plain.exceptAll(dist).count() == 0 && dist.exceptAll(plain).count() == 0)
+  }
+
+  test("runningMax equals the plain cumulative-max window, doubles and nulls, grouped and groupless") {
+    import spark.implicits._
+    val rng = new scala.util.Random(37)
+    val rows = Seq.tabulate(600) { i =>
+      val g = if (rng.nextInt(4) > 0) "hot" else s"g${rng.nextInt(3)}"
+      val v: java.lang.Double =
+        if (rng.nextInt(10) == 0) null else rng.nextDouble() * 100
+      (g, rng.nextInt(30).toLong, i.toLong, v)
+    }
+    val df = rows.toDF("g", "ord", "id", "v")
+    val w = Window.partitionBy(col("g")).orderBy(col("ord"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val plain = df.withColumn("m", max(col("v")).over(w))
+    val dist = DistributedRank.runningMax(df, Seq("g"), Seq("ord", "id"), "v", "m",
+      numPartitions = 5)
+    assert(plain.exceptAll(dist).count() == 0 && dist.exceptAll(plain).count() == 0)
+    val wg = Window.orderBy(col("ord"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val plainG = df.withColumn("m", max(col("v")).over(wg))
+    val distG = DistributedRank.runningMax(df, Nil, Seq("ord", "id"), "v", "m",
+      numPartitions = 4)
+    assert(plainG.exceptAll(distG).count() == 0 && distG.exceptAll(plainG).count() == 0)
+    // exclusive form: 1-PRECEDING frame, null on each group's first row
+    val wx = Window.partitionBy(col("g")).orderBy(col("ord"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val plainX = df.withColumn("m", max(col("v")).over(wx))
+    val distX = DistributedRank.runningMax(df, Seq("g"), Seq("ord", "id"), "v", "m",
+      numPartitions = 5, exclusive = true)
+    assert(plainX.exceptAll(distX).count() == 0 && distX.exceptAll(plainX).count() == 0)
+  }
+
   test("valuesAtRanks handles the groupless global-quantile shape") {
     import spark.implicits._
     val df = (1L to 101L).map(i => (i % 13, i)).toDF("v", "id")
