@@ -916,6 +916,41 @@ object TextQueries {
     },
 
     // ------------------------------------------------------------------
+    // q121 — MAXIMAL duplicated spans: q100 detects the fixed 8-token
+    // duplicated windows; this coalesces the covered positions into
+    // the variable-length maximal ranges a substring-dedup report
+    // actually shows (overlapping windows chain into one span). The
+    // merge is gaps-and-islands — position minus its per-doc rank is
+    // constant exactly within a consecutive run — so the whole
+    // coalesce is one window + one aggregate. The per-doc window is
+    // bounded by document length (never corpus-sized), and the
+    // covered-position table it runs on is already dedup-output-
+    // sized; both survive 100 TB untouched.
+    QueryDef.sql(
+      "q121_maximal_spans",
+      s"""WITH $dupSpanCovSql,
+         |isl AS (SELECT doc_id, p,
+         |  p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS g
+         |FROM cov)
+         |SELECT doc_id, CAST(MIN(p) AS INTEGER) AS span_start,
+         |  CAST(MAX(p) AS INTEGER) AS span_end,
+         |  CAST(COUNT(*) AS INTEGER) AS span_len
+         |FROM isl GROUP BY doc_id, g
+         |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir).documentsSpread
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      dupSpanPositions(t)
+        .withColumn("g", col("p") - row_number().over(w))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(min(col("p")).cast(IntegerType).as("span_start"),
+          max(col("p")).cast(IntegerType).as("span_end"),
+          count(lit(1)).cast(IntegerType).as("span_len"))
+        .select(col("doc_id"), col("span_start"), col("span_end"), col("span_len"))
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
+    // ------------------------------------------------------------------
     // q113 — the INCREMENTAL dedup contract as a driver-gated query
     // (q53's daily-crawl shape): the corpus is docs with doc_id % 5
     // ≠ 0, the arriving batch the rest; incrementalPairs must find
