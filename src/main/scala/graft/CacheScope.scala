@@ -13,6 +13,21 @@ import org.apache.spark.sql.DataFrame
   * `graft.Verify` and `graft.Bench` drain after each query; library
   * callers embedding a query in a longer-lived session should do the
   * same (or accept LRU eviction pressure).
+  *
+  * CONTRACT — single-threaded, one action per query, then drain. The
+  * registry is process-global by design (one registry, one drain
+  * point, zero plumbing through query signatures), which means:
+  *   - concurrent query builds would interleave registrations, and a
+  *     drain by one caller unpersists the other's in-flight caches —
+  *     build and run queries sequentially per process;
+  *   - after drain, re-running an action on a returned frame
+  *     recomputes scoped sub-plans uncached; for the
+  *     [[graft.operators.DistributedRank]] kernels specifically the
+  *     recomputed range partitioning may sample differently than the
+  *     driver-frozen offsets, so collect results BEFORE draining and
+  *     treat returned frames as single-action.
+  * Callers needing concurrent queries should hold their own persists
+  * instead of [[scoped]] and release them per-query.
   */
 object CacheScope {
   private val registry = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()

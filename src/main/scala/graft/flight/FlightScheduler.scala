@@ -38,6 +38,10 @@ final class FlightScheduler(
     * for bounded schedules; a serve-forever run returns Nil rather
     * than accumulating an unbounded path list in memory (callers that
     * need per-run paths in that mode observe them via `onRun`).
+    * `onRun` fires after each SUCCESSFUL run, outside the failure
+    * isolation: an exception it throws is the caller's own bug and
+    * propagates out of `serve` rather than masquerading as a
+    * pipeline failure through `onError`.
     */
   def serve(maxRuns: Int, onRun: String => Unit = _ => ()): Seq[String] = {
     val start = clock()
@@ -50,11 +54,17 @@ final class FlightScheduler(
       val now = clock()
       val wait = Duration.between(now, due)
       if (!wait.isNegative && !wait.isZero) sleep(wait)
-      try {
-        val path = pipeline.run(due)
-        if (!unbounded) out += path
-        onRun(path)
-      } catch { case scala.util.control.NonFatal(e) => onError(due, e) }
+      // onRun stays OUTSIDE the pipeline try: a throwing caller
+      // callback must not be routed to onError as a pipeline failure
+      // (the run already succeeded and was recorded) — it is the
+      // caller's own bug and propagates to them
+      val ran =
+        try {
+          val path = pipeline.run(due)
+          if (!unbounded) out += path
+          Some(path)
+        } catch { case scala.util.control.NonFatal(e) => onError(due, e); None }
+      ran.foreach(onRun)
       runs += 1
       // next tick strictly after the CURRENT wall clock: overruns skip
       // missed ticks instead of firing a catch-up burst

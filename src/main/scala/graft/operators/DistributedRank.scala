@@ -25,7 +25,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * Two balanced shuffles of the data instead of one degenerate one;
   * wall-clock scales with cores, not group count. Ranks are exact and
   * deterministic when `orderCols` totally order rows within a group
-  * (add tiebreak columns, same as any window).
+  * (add tiebreak columns, same as any window). NULL group keys form a
+  * group of their own, exactly like `PARTITION BY` (the offset
+  * reattach joins are null-safe `<=>`, not equi-joins that would
+  * silently drop NULL-keyed rows).
   *
   * The range-partitioned frame is persisted before the counts action:
   * both the offsets table and the final join must observe the SAME
@@ -39,12 +42,56 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object DistributedRank {
 
+  /** Hard bound on rows any kernel pulls to the driver (the
+    * per-(partition, group) count tables). ≈ numPartitions × #groups
+    * stays orders of magnitude below this under the low-cardinality
+    * contract; crossing it means the caller grouped by a
+    * high-cardinality key and the driver-offset construction is the
+    * wrong tool — fail fast and point at the plain window. The
+    * limit(+1) keeps the driver safe even on the failing path: at
+    * most `maxDriverRows + 1` small rows ever materialize.
+    */
+  val DefaultMaxDriverRows: Int = 1 << 20
+
+  private def collectBounded(
+      countsDf: DataFrame, bound: Int, kernel: String): Array[Row] = {
+    val rows = countsDf.limit(bound + 1).collect()
+    require(rows.length <= bound,
+      s"DistributedRank.$kernel: per-(partition, group) table exceeds $bound " +
+        "driver rows — group cardinality too high for the driver-offset " +
+        "construction; use a plain window_col over partitionBy instead, or " +
+        "raise maxDriverRows deliberately")
+    rows
+  }
+
+  /** Join on `keys` with NULL-SAFE equality — SQL window PARTITION BY
+    * treats NULL as a group of its own, and the offset tables (built
+    * by groupBy, which also keeps the NULL group) must reattach to
+    * those rows rather than equi-join-drop them. The right side is
+    * broadcast (all offset/target tables here are driver-small);
+    * `<=>` keys still hash-join (Catalyst folds null-safe equality
+    * into join keys via coalesce), so the plan shape matches the
+    * usingColumns join this replaces. Right key columns are renamed
+    * away and dropped so the output keeps the left side's columns.
+    */
+  private def joinNullSafe(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      joinType: String = "inner"): DataFrame = {
+    val renamed = keys.foldLeft(right)((d, k) => d.withColumnRenamed(k, "__r_" + k))
+    val cond = keys.map(k => left(k) <=> renamed("__r_" + k)).reduce(_ && _)
+    val j = left.join(broadcast(renamed), cond, joinType)
+    if (joinType == "left_semi") j else j.drop(keys.map("__r_" + _): _*)
+  }
+
   def rowNumber(
       df: DataFrame,
       groupCols: Seq[String],
       orderCols: Seq[String],
       out: String = "rn",
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0,
+      maxDriverRows: Int = DefaultMaxDriverRows): DataFrame = {
     val spark = df.sparkSession
     val sortCols = (groupCols ++ orderCols).map(col)
     val n = if (numPartitions > 0) numPartitions
@@ -55,7 +102,7 @@ object DistributedRank {
     val countsDf = ranged
       .groupBy(col("__pid") +: groupCols.map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
-    val counts = countsDf.collect() // ≤ n × #groups rows by the low-cardinality contract
+    val counts = collectBounded(countsDf, maxDriverRows, "rowNumber")
     // Running offset of each (group, partition): plain scan over the
     // collected rows — (__pid, groupCols..., __cnt) column order.
     val offRows = counts
@@ -78,7 +125,7 @@ object DistributedRank {
     val wLocal = Window
       .partitionBy(col("__pid") +: groupCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
-    ranged.join(broadcast(offsets), "__pid" +: groupCols)
+    joinNullSafe(ranged, offsets, "__pid" +: groupCols)
       .withColumn(out, row_number().over(wLocal).cast(LongType) + col("__off"))
       .drop("__pid", "__off")
   }
@@ -112,7 +159,8 @@ object DistributedRank {
       ranksOf: Long => Seq[Long],
       out: String = "rn",
       numPartitions: Int = 0,
-      outTotal: String = ""): DataFrame = {
+      outTotal: String = "",
+      maxDriverRows: Int = DefaultMaxDriverRows): DataFrame = {
     val spark = df.sparkSession
     val sortCols = (groupCols ++ orderCols).map(col)
     val n = if (numPartitions > 0) numPartitions
@@ -123,7 +171,7 @@ object DistributedRank {
     val countsDf = ranged
       .groupBy(col("__pid") +: groupCols.map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
-    val counts = countsDf.collect()
+    val counts = collectBounded(countsDf, maxDriverRows, "valuesAtRanks")
     // Per group: walk partitions in order, place each target rank in
     // the partition whose [offset, offset+cnt] window contains it.
     val targetRows = counts
@@ -161,10 +209,10 @@ object DistributedRank {
     val wLocal = Window
       .partitionBy(col("__pid") +: groupCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
-    val hits = ranged
-      .join(broadcast(carriers), "__pid" +: groupCols, "left_semi")
-      .withColumn("__lrn", row_number().over(wLocal).cast(LongType))
-      .join(broadcast(targets), "__pid" +: (groupCols :+ "__lrn"))
+    val hits = joinNullSafe(
+      joinNullSafe(ranged, carriers, "__pid" +: groupCols, "left_semi")
+        .withColumn("__lrn", row_number().over(wLocal).cast(LongType)),
+      targets, "__pid" +: (groupCols :+ "__lrn"))
       .withColumn(out, col("__grn"))
     val withTotal =
       if (outTotal.nonEmpty) hits.withColumn(outTotal, col("__tot")) else hits
@@ -201,7 +249,8 @@ object DistributedRank {
       out: String = "cum",
       numPartitions: Int = 0,
       outTotal: String = "",
-      outRank: String = ""): DataFrame = {
+      outRank: String = "",
+      maxDriverRows: Int = DefaultMaxDriverRows): DataFrame = {
     val spark = df.sparkSession
     val sortCols = (groupCols ++ orderCols).map(col)
     val n = if (numPartitions > 0) numPartitions
@@ -218,7 +267,7 @@ object DistributedRank {
     require(isDec || sumType == LongType,
       s"runningSum needs an exactly-summable value column (long or decimal); " +
         s"$valueCol sums to $sumType")
-    val sums = sumsDf.collect()
+    val sums = collectBounded(sumsDf, maxDriverRows, "runningSum")
     // Offsets carry (prior-partition sum, prior-partition non-null
     // count): the count disambiguates SQL's null-until-first-value
     // running-sum semantics — a partition whose local prefix is still
@@ -264,7 +313,7 @@ object DistributedRank {
       .partitionBy(col("__pid") +: groupCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = ranged.join(broadcast(offsets), "__pid" +: groupCols)
+    val cum = joinNullSafe(ranged, offsets, "__pid" +: groupCols)
       .withColumn("__lcum", sum(col(valueCol)).over(wRun))
       .withColumn(out,
         when(col("__lcum").isNotNull, col("__lcum") + col("__off"))
@@ -326,7 +375,7 @@ object DistributedRank {
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding,
         if (exclusive) -1 else Window.currentRow)
-    ranged.join(broadcast(offsets), "__pid" +: groupCols)
+    joinNullSafe(ranged, offsets, "__pid" +: groupCols)
       .withColumn(out, greatest(max(col(valueCol)).over(wRun), col("__off")))
       .drop("__pid", "__off")
   }

@@ -79,7 +79,7 @@ import org.apache.spark.sql.types.{BinaryType, DoubleType}
   *     100× the cap turns the ~70 GB-of-shuffle job that out-spills
   *     one box into a 2.4 GB / ~48 s run that avoids 1.89e9 candidate
   *     pairs (`NearDupScale /tmp/sf100 -1 64`). Reduced volume is
-  *     observable, not silent: [[NearDup.droppedBandBuckets]] lists
+  *     observable, not silent: [[NearDup.overCapBandBuckets]] lists
   *     every over-cap bucket with its size and
   *     [[NearDup.capReport]] aggregates the saved pair counts for
   *     logging. Default `Int.MaxValue` (off — exact candidate
@@ -215,17 +215,17 @@ object NearDup {
     * capped run reduces to hub-stars. Empty ⇒ the cap changes nothing
     * for this corpus.
     */
-  def droppedBandBuckets(index: Index, cap: Int): DataFrame =
+  def overCapBandBuckets(index: Index, cap: Int): DataFrame =
     index.bandRows.groupBy("band", "bk").agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > cap)
 
-  /** One-row aggregate of [[droppedBandBuckets]]: buckets capped to
+  /** One-row aggregate of [[overCapBandBuckets]]: buckets capped to
     * hub-stars, band rows inside them, and the candidate pairs the
     * star form saves (`Σ (n·(n−1)/2 − (n−1))`) — the numbers a capped
     * production run logs alongside its output.
     */
   def capReport(index: Index, cap: Int): DataFrame =
-    droppedBandBuckets(index, cap).agg(
+    overCapBandBuckets(index, cap).agg(
       count(lit(1)).as("buckets_capped"),
       coalesce(sum(col("bucket_n")), lit(0L)).as("rows_in_capped"),
       coalesce(sum(col("bucket_n") * (col("bucket_n") - 1) / 2

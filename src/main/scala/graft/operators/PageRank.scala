@@ -43,8 +43,10 @@ object PageRank {
     // re-shuffling |E| each iteration, and the degree aggregate
     // collapses map-side with no exchange of its own
     val dec = DecimalType(38, 0)
-    val e = edges.select(col("a"), col("b")).repartition(col("a")).persist()
-    val deg = e.groupBy(col("a").as("node")).agg(count(lit(1)).as("d")).persist()
+    val e = graft.CacheScope.scoped(
+      edges.select(col("a"), col("b")).repartition(col("a")))
+    val deg = graft.CacheScope.scoped(
+      e.groupBy(col("a").as("node")).agg(count(lit(1)).as("d")))
     var v = deg.select(col("node"), lit(Unit0).cast(dec).as("v"))
     for (k <- 1 to iters) {
       v = v.join(deg, "node")
@@ -61,12 +63,11 @@ object PageRank {
       // not embed rounds 1..N-1 (the q69 components discipline)
       if (k % checkpointEvery == 0 && k < iters) v = v.localCheckpoint()
     }
-    // cut the final ranks loose from the cached edge/degree frames
-    // (eager checkpoint materializes first), then release both — an
-    // invocation must not leak two cache entries to its caller
-    val out = v.localCheckpoint()
-    e.unpersist()
-    deg.unpersist()
-    out
+    // the cached edge/degree frames are CacheScope-registered, so the
+    // caller's action runs the remaining rounds exactly once against
+    // them and a post-action drain() releases both — no eager tail
+    // materialization inside the caller's timed path (it doubled
+    // q101's bench time when tried)
+    v
   }
 }

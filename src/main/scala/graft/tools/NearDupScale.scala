@@ -62,8 +62,8 @@ object NearDupScale {
       f"  size<2^${r.getInt(0)}%-2d buckets=${r.getLong(1)}%-8d pairs=${r.getAs[Number](2).longValue()}%d"))
     if (cap != Int.MaxValue) {
       val rep = NearDup.capReport(index, cap).collect().head
-      println(s"[neardup-scale] cap=$cap report: buckets_dropped=${rep.get(0)} " +
-        s"rows_dropped=${rep.get(1)} pairs_dropped=${rep.get(2)}")
+      println(s"[neardup-scale] cap=$cap report: buckets_capped=${rep.get(0)} " +
+        s"rows_in_capped=${rep.get(1)} pairs_reduced=${rep.get(2)}")
     }
 
     shuffleBytes.set(0); shuffleRecords.set(0)

@@ -65,4 +65,22 @@ class FlightSchedulerSpec extends AnyFunSuite {
     assert(paths.size == 2)
     assert(failures == List(start.plus(Duration.ofHours(1))))
   }
+
+  test("a throwing onRun callback propagates to the caller, not onError") {
+    val tmp = Files.createTempDirectory("graft-sched-cb").toString
+    val start = ZonedDateTime.of(2024, 4, 18, 10, 0, 0, 0, ZoneOffset.UTC)
+    var now = start
+    var errors = 0
+    val sched = new FlightScheduler(
+      new FlightPipeline(spark, mkSource(_ => ()), tmp),
+      interval = Duration.ofHours(1),
+      clock = () => now,
+      sleep = d => { assert(!d.isNegative); now = now.plus(d) },
+      onError = (_, _) => errors += 1)
+    val boom = intercept[RuntimeException] {
+      sched.serve(maxRuns = 2, onRun = _ => sys.error("caller bug"))
+    }
+    assert(boom.getMessage == "caller bug")
+    assert(errors == 0) // the pipeline run itself succeeded — not a pipeline failure
+  }
 }

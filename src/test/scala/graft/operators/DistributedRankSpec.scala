@@ -170,6 +170,65 @@ class DistributedRankSpec extends AnyFunSuite {
     assert(plainX.exceptAll(distX).count() == 0 && distX.exceptAll(plainX).count() == 0)
   }
 
+  test("NULL group keys form their own group, matching PARTITION BY (no dropped rows)") {
+    import spark.implicits._
+    val rows = Seq.tabulate(300) { i =>
+      val g: java.lang.Long = if (i % 4 == 0) null else (i % 3).toLong
+      (g, (i % 17).toLong, i.toLong)
+    }
+    val df = rows.toDF("g", "v", "id")
+    val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    // rowNumber
+    val plainRn = df.withColumn("rn", row_number().over(w).cast("long"))
+    val distRn = DistributedRank.rowNumber(df, Seq("g"), Seq("v", "id"), "rn",
+      numPartitions = 5)
+    assert(distRn.count() == 300) // no NULL-keyed rows dropped
+    assert(plainRn.exceptAll(distRn).count() == 0 && distRn.exceptAll(plainRn).count() == 0)
+    // runningSum
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val plainCum = df.withColumn("c", sum(col("v")).over(wr))
+    val distCum = DistributedRank.runningSum(df, Seq("g"), Seq("v", "id"), "v", "c",
+      numPartitions = 5)
+    assert(plainCum.exceptAll(distCum).count() == 0 && distCum.exceptAll(plainCum).count() == 0)
+    // runningMax
+    val plainMax = df.withColumn("m", max(col("v")).over(wr))
+    val distMax = DistributedRank.runningMax(df, Seq("g"), Seq("v", "id"), "v", "m",
+      numPartitions = 5)
+    assert(plainMax.exceptAll(distMax).count() == 0 && distMax.exceptAll(plainMax).count() == 0)
+    // valuesAtRanks: the NULL group's median row must surface too
+    val gotMed = DistributedRank.valuesAtRanks(df, Seq("g"), Seq("v", "id"),
+      n => Seq((n + 1) / 2), "rn", numPartitions = 5)
+    // expected via window count, NOT an equi-join on g (which would
+    // itself drop the NULL group — the very bug under test)
+    val expMed = plainRn
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("rn") === ((col("n") + 1) / 2).cast("long"))
+      .drop("n")
+    assert(gotMed.count() == 4) // 3 non-null groups + the NULL group
+    assert(expMed.exceptAll(gotMed).count() == 0 && gotMed.exceptAll(expMed).count() == 0)
+  }
+
+  test("maxDriverRows guard fails fast on high-cardinality groups") {
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (i, i)).toDF("g", "v") // ~2000 groups
+    val e = intercept[IllegalArgumentException] {
+      DistributedRank.rowNumber(df, Seq("g"), Seq("v"), "rn",
+        numPartitions = 4, maxDriverRows = 64)
+    }
+    assert(e.getMessage.contains("cardinality"))
+    val e2 = intercept[IllegalArgumentException] {
+      DistributedRank.runningSum(df, Seq("g"), Seq("v"), "v", "c",
+        numPartitions = 4, maxDriverRows = 64)
+    }
+    assert(e2.getMessage.contains("cardinality"))
+    val e3 = intercept[IllegalArgumentException] {
+      DistributedRank.valuesAtRanks(df, Seq("g"), Seq("v"), n => Seq(1L), "rn",
+        numPartitions = 4, maxDriverRows = 64)
+    }
+    assert(e3.getMessage.contains("cardinality"))
+    graft.CacheScope.drain() // release the scoped frames the aborted builds registered
+  }
+
   test("valuesAtRanks handles the groupless global-quantile shape") {
     import spark.implicits._
     val df = (1L to 101L).map(i => (i % 13, i)).toDF("v", "id")

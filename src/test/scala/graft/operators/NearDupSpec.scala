@@ -52,7 +52,7 @@ class NearDupSpec extends AnyFunSuite {
       df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
 
     // corpus buckets are small (tier-1 collapse): a cap of 64 changes nothing
-    assert(NearDup.droppedBandBuckets(index, 64).isEmpty)
+    assert(NearDup.overCapBandBuckets(index, 64).isEmpty)
     assert(pairSet(NearDup.indexPairs(index, 0.6, maxBandBucket = 64)) ==
       pairSet(NearDup.indexPairs(index, 0.6)))
 

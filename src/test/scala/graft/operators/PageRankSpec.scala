@@ -19,8 +19,9 @@ class PageRankSpec extends AnyFunSuite {
   }
 
   private def ranks(df: DataFrame): Map[Long, Long] =
-    df.collect()
+    try df.collect()
       .map(r => r.getLong(0) -> r.getDecimal(1).longValueExact()).toMap
+    finally graft.CacheScope.drain() // fixedPoint scopes its edge/degree caches
 
   test("one round on the symmetric 3-path matches hand arithmetic") {
     // deg: 1→1, 2→2, 3→1; contribs: 1 and 3 send 1.0, 2 sends 0.5 each way
@@ -45,5 +46,16 @@ class PageRankSpec extends AnyFunSuite {
     val a = ranks(PageRank.fixedPoint(g, 12, checkpointEvery = 5))
     val b = ranks(PageRank.fixedPoint(g, 12, checkpointEvery = 100))
     assert(a == b)
+  }
+
+  test("cache hygiene: action + drain leaves no new persistent RDDs") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val r = ranks(PageRank.fixedPoint(sym((1L, 2L), (2L, 3L), (3L, 1L)), 5))
+    assert(r.nonEmpty)
+    // unpersist is async; poll briefly for the blocks to clear
+    val deadline = System.nanoTime() + 10e9.toLong
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(leaked.isEmpty, s"leaked cache entries: $leaked")
   }
 }
