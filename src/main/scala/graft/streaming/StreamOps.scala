@@ -226,6 +226,35 @@ object StreamOps {
       .select(col("win.start").as("window_start"), col("top_tokens"))
   }
 
+  /** Windowed EXACT quantiles of a long-valued column, continuously:
+    * per event-time tumbling window, the lower empirical quantile at
+    * each requested p (k-th smallest, k = max(1, ceil(p·n)) — the
+    * q84/q120 rank convention), via the mergeable
+    * [[graft.functions.QuantileByCount]] count-map Aggregator. The
+    * shuffle carries one value→count map per (window, partition)
+    * (map-side partial agg), state per open window is bounded by the
+    * DISTINCT value count — quantized domains only (cents, token
+    * counts); sketch (q89) for unbounded reals — and the watermark
+    * closes windows for append-mode emission. Batch equivalent:
+    * identical results on the same frame (the spec pins it); the
+    * batch-side kernel for full data is `DistributedRank.valuesAtRanks`.
+    */
+  def windowedQuantiles(
+      rows: DataFrame,
+      quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      valueCol: String = "v",
+      window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val quant = org.apache.spark.sql.functions.udaf(
+      new graft.functions.QuantileByCount(quantiles),
+      org.apache.spark.sql.Encoders.scalaLong)
+    rows
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("win"))
+      .agg(count(lit(1)).as("n"), quant(col(valueCol)).as("qs"))
+      .select(col("win.start").as("window_start"), col("n"), col("qs"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   final case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long)
   final case class SessionOut(user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)

@@ -90,6 +90,32 @@ class CodegenPredicateSpec extends AnyFunSuite {
     assert(viaBloom.sameElements(exact))
   }
 
+  test("ZOrder64 compiles as a generated predicate and evaluates") {
+    val expr = GreaterThan(
+      ZOrder64(BoundReference(0, LongType, nullable = false),
+               BoundReference(1, LongType, nullable = false)),
+      Literal(0L))
+    val pred = GeneratePredicate.generate(expr) // throws on codegen failure
+    pred.initialize(0)
+    assert(pred.eval(InternalRow(1L, 1L)))  // interleave(1,1) = 3 > 0
+    assert(!pred.eval(InternalRow(0L, 0L))) // interleave(0,0) = 0
+  }
+
+  test("LongPosAgreeCount compiles as a generated predicate and evaluates") {
+    val expr = GreaterThan(
+      LongPosAgreeCount(BoundReference(0, longArr, nullable = false),
+                        BoundReference(1, longArr, nullable = false)),
+      Literal(1))
+    val pred = GeneratePredicate.generate(expr)
+    pred.initialize(0)
+    val hit = InternalRow(
+      new GenericArrayData(Array(1L, 2L, 3L)), new GenericArrayData(Array(1L, 2L, 9L)))
+    val miss = InternalRow(
+      new GenericArrayData(Array(1L, 2L)), new GenericArrayData(Array(2L, 1L)))
+    assert(pred.eval(hit))   // positions 0 and 1 agree
+    assert(!pred.eval(miss)) // no positional agreement
+  }
+
   test("Float32Dot in a nested-loop join condition produces correct pairs end-to-end") {
     import spark.implicits._
     // 3 unit-ish vectors; only (a,b) alignments above the threshold survive.

@@ -81,6 +81,37 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowedQuantiles: stream equals batch, and both equal hand-computed ranks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // two hour-windows with ties and skew; values are "cents"
+    val h0 = Seq(100L, 100L, 300L, 200L, 500L, 100L, 400L)      // sorted: 100,100,100,200,300,400,500
+    val h1 = Seq(900L, 100L, 900L, 900L)                        // sorted: 100,900,900,900
+    val rows = h0.zipWithIndex.map { case (v, i) => (ts(i), v) } ++
+      h1.zipWithIndex.map { case (v, i) => (ts(60 + i), v) }
+    val mem = MemoryStream[(Timestamp, Long)]
+    mem.addData(rows: _*)
+    val q = StreamOps.windowedQuantiles(
+        mem.toDF().toDF("ts", "v"), Seq(0.5, 0.9), "v", "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("quant_win")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("quant_win").collect()
+        .map(r => r.getAs[Timestamp]("window_start") ->
+          ((r.getAs[Long]("n"), r.getAs[Seq[Long]]("qs")))).toMap
+      val batch = StreamOps.windowedQuantiles(
+          rows.toDF("ts", "v"), Seq(0.5, 0.9), "v", "1 hour", "2 hours").collect()
+        .map(r => r.getAs[Timestamp]("window_start") ->
+          ((r.getAs[Long]("n"), r.getAs[Seq[Long]]("qs")))).toMap
+      assert(streamed == batch && streamed.size == 2)
+      // hand-computed: h0 n=7 → p50 k=4 → 200, p90 k=7 → 500
+      //                h1 n=4 → p50 k=2 → 900, p90 k=4 → 900
+      val byTime = streamed.toSeq.sortBy(_._1.getTime).map(_._2)
+      assert(byTime == Seq((7L, Seq(200L, 500L)), (4L, Seq(900L, 900L))))
+    } finally q.stop()
+  }
+
   test("contaminationScreen: no false negatives streaming, equals batch screen") {
     implicit val sqlCtx = spark.sqlContext
     val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
