@@ -112,6 +112,55 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowedQuantiles: custom aggregator state survives a checkpointed restart") {
+    // the QuantileByCount buffer (a value→count map) lives in the
+    // streaming state store; a kill-and-restart must round-trip that
+    // buffer through the store's serializer — a regression here would
+    // silently corrupt every resumed quantile, which no single-run
+    // test can catch
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val h0 = Seq(100L, 100L, 300L, 200L, 500L, 100L, 400L)
+    val h1 = Seq(900L, 100L, 900L, 900L)
+    val rows0 = h0.zipWithIndex.map { case (v, i) => (ts(i), v) }
+    // second wave: 30 min later, SAME first window (state must merge
+    // resumed counts with new rows), plus a second window
+    val rows1 = h0.zipWithIndex.map { case (v, i) => (ts(30 + i), v * 2) } ++
+      h1.zipWithIndex.map { case (v, i) => (ts(60 + i), v) }
+
+    val ckpt = java.nio.file.Files.createTempDirectory("quant_restart").toString
+    val mem = MemoryStream[(Timestamp, Long)]
+    def startQuery(name: String) = StreamOps.windowedQuantiles(
+        mem.toDF().toDF("ts", "v"), Seq(0.5, 0.9), "v", "1 hour", "2 hours")
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+
+    mem.addData(rows0: _*)
+    val q1 = startQuery("quant_restart_a")
+    try q1.processAllAvailable() finally q1.stop()
+
+    mem.addData(rows1: _*)
+    val q2 = startQuery("quant_restart_b")
+    try {
+      q2.processAllAvailable()
+      val streamed = spark.table("quant_restart_b").collect()
+        .map(r => r.getAs[Timestamp]("window_start") ->
+          ((r.getAs[Long]("n"), r.getAs[Seq[Long]]("qs")))).toMap
+      val batch = StreamOps.windowedQuantiles(
+          (rows0 ++ rows1).toDF("ts", "v"), Seq(0.5, 0.9), "v", "1 hour", "2 hours")
+        .collect()
+        .map(r => r.getAs[Timestamp]("window_start") ->
+          ((r.getAs[Long]("n"), r.getAs[Seq[Long]]("qs")))).toMap
+      assert(streamed == batch && streamed.size == 2,
+        s"restarted stream diverged from batch truth:\n$streamed\nvs\n$batch")
+      // the first window must hold BOTH waves' rows (14), proving the
+      // resumed buffer merged rather than restarted from empty
+      val firstWin = streamed.toSeq.minBy(_._1.getTime)._2
+      assert(firstWin._1 == 14L)
+    } finally q2.stop()
+  }
+
   test("contaminationScreen: no false negatives streaming, equals batch screen") {
     implicit val sqlCtx = spark.sqlContext
     val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
