@@ -786,8 +786,12 @@ object AnalyticsQueries {
         |CROSS JOIN n
         |WHERE cab >= 2
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin) { (s, dir) =>
-      val b = Tables(s, dir).lineitem
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // the basket table feeds FOUR consumers (n, ic, both self-join
+      // legs) whose differing pushed filters defeat exchange reuse —
+      // without the persist the plan runs 4 full scans + 4 dedup
+      // shuffles of lineitem (read in the r7 plan audit)
+      val b = graft.CacheScope.scoped(Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey")).distinct())
       val n = b.agg(countDistinct(col("l_orderkey")).as("n_orders"))
       val ic = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
       val pr = b.select(col("l_orderkey"), col("l_partkey").as("pa"))
