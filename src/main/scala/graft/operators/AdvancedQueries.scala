@@ -442,16 +442,23 @@ object AdvancedQueries {
         |  SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
         |ORDER BY day""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val t = Tables(s, dir).events.select(
+      // ONE events scan: everything below derives from the distinct
+      // (day, user) table — the r7 scan audit found the previous form
+      // read events four times (sketch pass, daily exact, global
+      // exact, plus a union leg), each a full fact scan at 100 TB.
+      // HLL registers are idempotent under duplicates, so sketching
+      // the deduped table is bit-identical to sketching raw events;
+      // the exact counts collapse to counts over the same table.
+      val du = CacheScope.scoped(Tables(s, dir).events.select(
         date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
-        col("user_id"))
-      val hashed = t.withColumn("h", xxhash64(col("user_id")))
-      val sketches = hashed.select(col("day"), col("h")).as[(String, Long)]
+        col("user_id")).distinct())
+      val sketches = du.withColumn("h", xxhash64(col("user_id")))
+        .select(col("day"), col("h")).as[(String, Long)]
         .groupByKey(_._1).mapValues(_._2)
         .agg(new graft.functions.HllSketch().toColumn.name("sk"))
         .toDF("day", "sk")
-      val exact = t.groupBy(col("day"))
-        .agg(countDistinct(col("user_id")).as("exact_users"))
+      val exact = du.groupBy(col("day"))
+        .agg(count(lit(1)).as("exact_users"))
       val daily = sketches.join(exact, "day")
         .as[(String, Array[Byte], Long)]
         .map { case (day, sk, ex) =>
@@ -462,7 +469,7 @@ object AdvancedQueries {
         .mapGroups((_, it) => it.map(_._2).reduce(graft.functions.HllSketch.union))
         .map(sk => ("ALL", math.round(graft.functions.HllSketch.estimate(sk))))
         .toDF("day", "est_users")
-      val allExact = t.agg(countDistinct(col("user_id")).as("exact_users"))
+      val allExact = du.agg(countDistinct(col("user_id")).as("exact_users"))
       daily.unionByName(
           allSketch.crossJoin(allExact)
             .select(col("day"), col("est_users"), col("exact_users")))

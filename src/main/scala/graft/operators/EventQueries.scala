@@ -322,9 +322,12 @@ object EventQueries {
         |  CAST(MAX(conc) AS BIGINT) AS peak_concurrency, n_sessions
         |FROM c JOIN ns USING (day) GROUP BY day, n_sessions
         |ORDER BY day""".stripMargin) { (s, dir) =>
-      val sess = Tables(s, dir).events
+      // session table persisted: its three consumers (both sweep-point
+      // legs + the per-day count) would otherwise each re-scan and
+      // re-aggregate the events fact (r7 scan audit: events x5)
+      val sess = graft.CacheScope.scoped(Tables(s, dir).events
         .groupBy(to_date(col("ts")).as("day"), col("user_id"))
-        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+        .agg(min(col("ts")).as("st"), max(col("ts")).as("en")))
       val pts = sess.select(col("day"), col("st").as("t"), lit(0).as("k"),
           col("user_id"), lit(1L).as("delta"))
         .unionByName(sess.select(col("day"), col("en").as("t"), lit(1).as("k"),

@@ -858,6 +858,12 @@ object TextQueries {
         |FROM pd ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir).documentsSpread
       val t = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      // the bigram stream feeds three consumers but is deliberately
+      // NOT persisted: it is a map-side explode (no shuffle below it),
+      // and the r7 measurement showed caching the token stream costs
+      // MORE than recomputing it (13.7 s vs 9.9 s at the 100× probe) —
+      // persist pays only when the shared subtree contains a shuffle
+      // or dedup (q111/q126/q128), not a cheap codegen projection
       val p = t.filter(size(col("tk")) >= 2)
         .select(col("doc_id"), col("tk"),
           posexplode(slice(col("tk"), lit(1), size(col("tk")) - 1)).as(Seq("i0", "prev")))
