@@ -276,8 +276,11 @@ object EventQueries {
         |SELECT CAST(day AS TIMESTAMP) AS day, users_7d, users_1d
         |FROM roll JOIN one USING (day)
         |ORDER BY day""".stripMargin) { (s, dir) =>
-      val du = Tables(s, dir).events
-        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      // the distinct (day, user) table feeds three consumers (days,
+      // the window explode, the per-day count); persisted so the
+      // corpus-sized dedup shuffle runs once (r7 scan audit: events x3)
+      val du = graft.CacheScope.scoped(Tables(s, dir).events
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct())
       val days = du.select(col("day")).distinct()
       val roll = du
         .select(col("user_id"),
@@ -372,9 +375,12 @@ object EventQueries {
         |  CAST(COALESCE(r.retained, 0) AS DOUBLE) / a.c AS retention
         |FROM a JOIN nx USING (day) LEFT JOIN r USING (day)
         |ORDER BY a.day""".stripMargin) { (s, dir) =>
-      val sets = Tables(s, dir).events
+      // day-sized set table persisted: both the base leg and the
+      // shifted-calendar leg read it, and without the persist the
+      // corpus-wide collect_set aggregation runs twice (r7 scan audit)
+      val sets = graft.CacheScope.scoped(Tables(s, dir).events
         .groupBy(to_date(col("ts")).as("day"))
-        .agg(sort_array(collect_set(col("user_id"))).as("us"))
+        .agg(sort_array(collect_set(col("user_id"))).as("us")))
       val next = sets.select(date_sub(col("day"), 1).as("day"), col("us").as("us1"))
       sets.join(next, "day")
         .select(col("day"), size(col("us")).cast(LongType).as("actives"),
