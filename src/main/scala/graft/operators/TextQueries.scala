@@ -96,6 +96,12 @@ object TextQueries {
     * detection core shared by q100 (measure) and q104 (strip).
     * `t` is (doc_id, tk: array<string>).
     */
+  // NOTE the window-hash stream g is consumed by both the dup filter
+  // and the join-back but deliberately NOT persisted: the r7 probe
+  // measured the cached form SLOWER at 100× (q100 10.1→10.7 s, q104
+  // 8.4→10.3 s) — even md5-per-window recomputes cheaper than the
+  // token-window-sized cache writes+reads (same finding as q110's
+  // bigram stream; the persist rule is shuffle/dedup subtrees only).
   private def dupSpanPositions(t: org.apache.spark.sql.DataFrame) = {
     val g = t.filter(size(col("tk")) >= 8)
       .select(col("doc_id"), col("tk"),
