@@ -244,6 +244,39 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("scan-audit fixes hold: the shared fact subtree stays ONE persisted relation for q111/q125/q126/q128/q129") {
+    // each of these queries' shared shuffle subtree (distinct /
+    // groupBy / collect_set over the fact table) must stay persisted
+    // and shared by ALL its consumers: the r7 audit measured 2-5
+    // redundant fact scans + dedup shuffles before the fix. (FileScan
+    // lines can't be counted from plan text here — InMemoryTableScan
+    // prints its cached plan's scan too — so the check is structural,
+    // the q53 pattern.)
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    // minTotal = total cached-relation occurrences referencing the
+    // fact across the plan; dropping any one persist lowers it below
+    // the pin (e.g. q126 counts sess's 3 consumers + DistributedRank's
+    // internal ranged cache)
+    val factOf = Map(
+      "q111_hll_daily_union" -> ("events", 3),
+      "q125_rolling_distinct_users" -> ("events", 3),
+      // q126's sweep legs are consumed at build time (runningSum's
+      // counts action); the FINAL plan keeps ranged + the ns leg — 2
+      // cached reads, and dropping the sess persist leaves only 1
+      "q126_peak_concurrency" -> ("events", 2),
+      "q128_copurchase_lift" -> ("lineitem", 4),
+      "q129_retention_sets" -> ("events", 2))
+    factOf.foreach { case (q, (fact, minTotal)) =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      val imrs = df.queryExecution.withCachedData
+        .collect { case r: InMemoryRelation => r }
+      val factCaches = imrs.filter(_.cacheBuilder.cachedPlan.toString.contains(s"$fact.parquet"))
+      assert(factCaches.size >= minTotal,
+        s"$q: ${factCaches.size} cached $fact reads, expected >= $minTotal — a persist was dropped")
+      CacheScope.drain()
+    }
+  }
+
   test("no query plan contains a collect-driven loop (Exchange-only shuffles)") {
     // structural smoke over every registered query at tiny SF: the plan
     // tree must build lazily without driver-side actions
