@@ -81,6 +81,40 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("distinctUsersStream: HLL register state survives a checkpointed restart bit-equal") {
+    // the other custom-Aggregator state-store path (binary register
+    // buffers, vs windowedQuantiles' counts map): a restart must
+    // resume the open window's registers, and the union identity only
+    // holds if the resumed sketch is bit-equal to the batch one
+    implicit val sqlCtx = spark.sqlContext
+    val wave1 = Seq((1L, ts(5)), (2L, ts(10)), (1L, ts(20)))
+    val wave2 = Seq((3L, ts(40)), (2L, ts(65)), (4L, ts(70)), (5L, ts(110)))
+    val ckpt = java.nio.file.Files.createTempDirectory("hll_restart").toString
+    val mem = MemoryStream[(Long, Timestamp)]
+    def startQuery(name: String) = StreamOps.distinctUsersStream(
+        mem.toDF().toDF("user_id", "ts"), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+
+    mem.addData(wave1: _*)
+    val q1 = startQuery("hll_restart_a")
+    try q1.processAllAvailable() finally q1.stop()
+    mem.addData(wave2: _*) // first window gains user 3 AFTER the restart
+    val q2 = startQuery("hll_restart_b")
+    try {
+      q2.processAllAvailable()
+      val streamed = spark.table("hll_restart_b").collect()
+        .map(r => r.getAs[Timestamp]("window_start") -> r.getAs[Array[Byte]]("sk")).toMap
+      val batch = StreamOps.distinctUsersStream(
+          (wave1 ++ wave2).toDF("user_id", "ts"), "1 hour", "2 hours").collect()
+        .map(r => r.getAs[Timestamp]("window_start") -> r.getAs[Array[Byte]]("sk")).toMap
+      assert(streamed.keySet == batch.keySet && streamed.keySet.size == 2)
+      streamed.foreach { case (w, sk) =>
+        assert(sk.sameElements(batch(w)), s"resumed registers diverged for window $w") }
+    } finally q2.stop()
+  }
+
   test("windowedQuantiles: stream equals batch, and both equal hand-computed ranks") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
