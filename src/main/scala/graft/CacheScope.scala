@@ -59,8 +59,17 @@ object CacheScope {
   /** Unpersist (non-blocking) everything registered since the last
     * drain. Safe to call with nothing registered, and safe to call
     * after `catalog.clearCache()` (unpersist of an evicted frame is a
-    * no-op). */
+    * no-op). Enforced symmetrically with [[scoped]]: a drain from a
+    * thread that is not the recorded owner while registrations are
+    * outstanding throws instead of silently unpersisting the owner's
+    * in-flight caches. */
   def drain(): Unit = {
+    val o = owner.get()
+    if (o != null && (o ne Thread.currentThread()) && !registry.isEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"CacheScope: thread '${Thread.currentThread().getName}' drained while " +
+          s"thread '${o.getName}' has undrained registrations — the registry is " +
+          "single-owner between drains (see the class contract)")
     var df = registry.poll()
     while (df != null) {
       try df.unpersist(blocking = false) catch { case _: Throwable => () }

@@ -449,9 +449,15 @@ object AdvancedQueries {
       // HLL registers are idempotent under duplicates, so sketching
       // the deduped table is bit-identical to sketching raw events;
       // the exact counts collapse to counts over the same table.
-      val du = CacheScope.scoped(Tables(s, dir).events.select(
-        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
-        col("user_id")).distinct())
+      // user_id IS NOT NULL up front: the oracle's count(DISTINCT ...)
+      // ignores nulls, and without the filter the daily count(1) leg
+      // would count a (day, NULL) row that the global countDistinct
+      // leg excludes (latent today — the corpus has no null user_ids)
+      val du = CacheScope.scoped(Tables(s, dir).events
+        .filter(col("user_id").isNotNull)
+        .select(
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          col("user_id")).distinct())
       val sketches = du.withColumn("h", xxhash64(col("user_id")))
         .select(col("day"), col("h")).as[(String, Long)]
         .groupByKey(_._1).mapValues(_._2)

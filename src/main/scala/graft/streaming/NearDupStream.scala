@@ -139,6 +139,10 @@ object NearDupStream {
       merged.map(_.clusters).getOrElse(fresh.clusters)
         .write.mode("overwrite").parquet(s"$stateDir/epoch=$epochId")
       (old.toSeq ++ Seq(fresh) ++ merged.toSeq).foreach(_.unpersist())
+      // the localCheckpoint'ed batch holds MEMORY_AND_DISK blocks until
+      // the ContextCleaner GCs it — release it now that both writes
+      // (pairs + state snapshot) have committed
+      b.unpersist(blocking = false)
       // prune: keep the two newest committed snapshots (see scaladoc)
       val committed = committedEpochs(spark)
       committed.dropRight(2).foreach { e =>

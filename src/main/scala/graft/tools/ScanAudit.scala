@@ -39,7 +39,7 @@ object ScanAudit {
         if (hot.nonEmpty)
           println(f"$name%-28s ${hot.map { case (t, c) => s"$t x$c" }.mkString(", ")}%-28s cacheReads=$cacheReads reusedEx=$reused")
       } catch {
-        case e: Throwable => println(f"$name%-28s BUILD-ERROR ${e.getMessage.take(80)}")
+        case e: Throwable => println(f"$name%-28s BUILD-ERROR ${String.valueOf(e.getMessage).take(80)}")
       } finally graft.CacheScope.drain()
     }
     spark.stop()

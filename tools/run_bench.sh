@@ -15,4 +15,4 @@ exec java $ADD_OPENS \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Bench 2>/dev/null <<<""
+  graft.Bench 2>/tmp/bench_stderr.log <<<""
