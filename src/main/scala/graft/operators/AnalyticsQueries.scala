@@ -583,15 +583,32 @@ object AnalyticsQueries {
     // q116 — equi-depth (equal-height) histogram, the optimizer-stats /
     // data-profiling shape: 16 buckets of (count, lo, hi) where every
     // bucket holds n/16 rows. A literal `ntile(16) OVER (ORDER BY ...)`
-    // is a single-partition global sort; instead the bucket BOUNDARIES
-    // are the rows at ntile's bucket-end ranks — ≤15 rows that
-    // [[DistributedRank.valuesAtRanks]] surfaces with one balanced
-    // exchange — and bucket membership is then 15 codegen'd struct
-    // comparisons against those boundary tuples in a second plain
-    // scan + hash aggregate. Ties split exactly as ntile splits them
-    // because the comparison tuple carries the same (l_orderkey,
-    // l_linenumber) tiebreaks the rank order does. Scale: no global
-    // sort anywhere; both passes are full-parallel.
+    // is a single-partition global sort. The histogram needs no per-row
+    // rank at all: its output exposes only VALUES (lo/hi per bucket;
+    // counts are ntile's closed-form q+1/q split), so the tiebreak
+    // columns the rank order carries are irrelevant — the value at
+    // rank t is the same whichever tied row ntile puts at the edge.
+    // That licenses two single-scan plans, chosen by a metadata-cheap
+    // count(*) pre-pass (parquet answers it from row-group stats, no
+    // column pages read):
+    //   - sort-selection (small): [[DistributedRank.valuesAtRanks]]
+    //     over the single projected column — one balanced range
+    //     exchange + per-partition sorts. Measured 1.9 s at sf0.1.
+    //   - value-domain (large): map-side-combined groupBy(v) (shuffle
+    //     carries one row per distinct value per map partition, not
+    //     one per row), exact prefix sum over the distinct-value table
+    //     ([[DistributedRank.runningSum]]), then the ≤2k−1 value-blocks
+    //     where bucket start/end ranks cross the cumulative count,
+    //     found by a broadcast range-join against the 31-row target
+    //     table (an OR-chain predicate of 31 branches measured 9×
+    //     slower than the join — it defeats codegen).
+    // Measured crossover ≈ 25M rows (sort-selection 1.9 s→15.9 s from
+    // 0.6M→60M; value-domain flat 6.5→8.4 s); threshold 20M. The r7
+    // audit flagged the original two-scan form (boundary pass +
+    // bucket-assign pass, 14.6× at 100×); the hybrid runs 100× of
+    // sf0.1 at ~8.4 s vs sf0.1's 1.9 s — a ~4.4× factor, and at a
+    // true 100 TB the value-domain path's shuffle stays bounded by
+    // per-partition distinct values. Driver assembly is ≤k rows.
     QueryDef.sql(
       "q116_equidepth_hist",
       """WITH r AS (
@@ -601,30 +618,58 @@ object AnalyticsQueries {
         |SELECT CAST(bucket AS INTEGER) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
         |  MIN(v) AS lo, MAX(v) AS hi
         |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      import s.implicits._
       val k = 16
-      val li = Tables(s, dir).lineitem
-        .select(col("l_extendedprice").as("v"), col("l_orderkey"), col("l_linenumber"))
       // SQL ntile bucket ends: q = n/k, r = n%k; the first r buckets
-      // hold q+1 rows, the rest q (same arithmetic as q46).
-      def ends(n: Long): Seq[Long] = {
+      // hold q+1 rows, the rest q (same arithmetic as q46). Bucket i
+      // spans ranks [end(i-1)+1, end(i)].
+      def bucketEnds(n: Long): IndexedSeq[Long] = {
         val q = n / k; val r = n % k
-        (1L to k - 1).map(i => if (i <= r) i * (q + 1) else r * (q + 1) + (i - r) * q)
+        (1L to k).map(i => if (i <= r) i * (q + 1) else r * (q + 1) + (i - r) * q)
       }
-      val bounds = DistributedRank.valuesAtRanks(li, Nil,
-        Seq("v", "l_orderkey", "l_linenumber"), ends, "rn")
-        .collect() // ≤ k−1 boundary rows
-        .sortBy(_.getAs[Long]("rn"))
-      val tup = struct(col("v"), col("l_orderkey"), col("l_linenumber"))
-      val bucket = bounds.map { b =>
-        val bt = struct(
-          lit(b.getAs[Double]("v")),
-          lit(b.getAs[Long]("l_orderkey")),
-          lit(b.getAs[Int]("l_linenumber")))
-        when(tup > bt, 1).otherwise(0)
-      }.foldLeft(lit(1))(_ + _)
-      li.groupBy(bucket.cast(IntegerType).as("bucket"))
-        .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
-        .orderBy(col("bucket"))
+      def ranksOf(n: Long): Seq[Long] = {
+        val ends = bucketEnds(n)
+        (ends ++ (1L +: ends.init.map(_ + 1))).filter(t => t >= 1 && t <= n).distinct
+      }
+      def histFrom(n: Long, valueAt: Long => Double) = {
+        val q = n / k; val r = n % k
+        val ends = bucketEnds(n); val starts = 1L +: ends.init.map(_ + 1)
+        (1 to k).flatMap { i =>
+          val cnt = if (i <= r) q + 1 else q
+          if (cnt == 0L) None // ntile leaves trailing buckets empty when n < k
+          else Some((i, cnt, valueAt(starts(i - 1)), valueAt(ends(i - 1))))
+        }.toDF("bucket", "n", "lo", "hi").orderBy(col("bucket"))
+      }
+      val fact = Tables(s, dir).lineitem.select(col("l_extendedprice").as("v"))
+      val n0 = fact.count() // row-group-stats count, no column pages
+      val SortSelectionMaxRows = 20000000L // measured crossover ≈ 25M
+      if (n0 == 0L) Seq.empty[(Int, Long, Double, Double)].toDF("bucket", "n", "lo", "hi")
+      else if (n0 <= SortSelectionMaxRows) {
+        val hits = DistributedRank.valuesAtRanks(fact, Nil, Seq("v"), ranksOf, "rn")
+          .select(col("rn"), col("v"))
+          .collect() // ≤ 2k−1 rank-rows — bounded by k, not n
+        val byRank = hits.map(h => h.getAs[Long]("rn") -> h.getAs[Double]("v")).toMap
+        histFrom(n0, byRank)
+      } else {
+        // every post-groupBy action reads the distinct-value cache;
+        // the fact is scanned once (by the pre-count's stats pass and
+        // the one real scan feeding the aggregate)
+        val vc = graft.CacheScope.scoped(
+          fact.groupBy(col("v")).agg(count(lit(1)).as("cnt")))
+        val cum = DistributedRank.runningSum(vc, Nil, Seq("v"), "cnt", "cume")
+        val tdf = ranksOf(n0).toDF("t")
+        // value at rank t = the distinct value whose cumulative-count
+        // window (cume−cnt, cume] contains t — broadcast range-join,
+        // ≤2k−1 matched value-blocks
+        val hits = cum.join(broadcast(tdf),
+            col("t") > col("cume") - col("cnt") && col("t") <= col("cume"))
+          .select(col("v"), col("cume"))
+          .collect()
+          .sortBy(_.getAs[Long]("cume"))
+        def valueAt(t: Long): Double =
+          hits.find(_.getAs[Long]("cume") >= t).get.getAs[Double]("v")
+        histFrom(n0, valueAt)
+      }
     },
 
     // ------------------------------------------------------------------
