@@ -91,6 +91,53 @@ object TextQueries {
       .filter(col("jaccard") >= 0.6)
   }
 
+  /** Certification stratum for the exhaustive ground-truth gates
+    * (q113/q114): docs with id below the replica shift constant —
+    * `tools/make_sfbig.py` offsets replica ids by r×1e6, so the
+    * stratum is exactly the un-replicated corpus at ANY replication
+    * factor (and the whole corpus at every real sf dir, where ids top
+    * out ≈5e3). The quadratic exhaustive tier thereby does CONSTANT
+    * work as the corpus scales — the r7 suite could not finish at
+    * 100× because these gates re-verified every replica all-pairs —
+    * while still certifying banding recall / estimator accuracy on a
+    * deterministic, content-complete sample. The production path
+    * (q53/q103) is what runs corpus-wide.
+    */
+  private[operators] val GateStratumMaxDocId = 1000000L
+
+  /** The q113 gate comparison, factored so the sensitivity spec can
+    * feed a degraded candidate side and watch the booleans trip:
+    * full-outer join of the incremental pair listing against the
+    * exhaustive tier → (n_expected, precision_ok, jaccard_ok,
+    * recall_ok). Columns: inc(doc_a, doc_b, j_lsh), ex(doc_a, doc_b,
+    * j_ex).
+    */
+  private[operators] def incrementalGate(
+      inc: org.apache.spark.sql.DataFrame,
+      ex: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    inc.join(ex, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        count(col("j_ex")).as("n_ex"),
+        count(when(col("j_ex").isNull, 1)).as("n_phantom"),
+        count(when(col("j_lsh").isNotNull && col("j_ex").isNotNull
+          && col("j_lsh") =!= col("j_ex"), 1)).as("n_mismatch"),
+        count(when(col("j_lsh").isNotNull && col("j_ex").isNotNull, 1)).as("n_both"))
+      .select(
+        col("n_ex").as("n_expected"),
+        (col("n_phantom") === 0).as("precision_ok"),
+        (col("n_mismatch") === 0).as("jaccard_ok"),
+        (col("n_both") >= col("n_ex") * 0.9).as("recall_ok"))
+
+  /** The q114 gate aggregation, factored for the sensitivity spec:
+    * scored(jaccard, est) → (n_pairs, mae_ok vs the 0.15 bound).
+    */
+  private[operators] def estimatorGate(
+      scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    scored.agg(
+        count(lit(1)).as("n_pairs"),
+        avg(abs(col("est") - col("jaccard"))).as("mae"))
+      .select(col("n_pairs"), (col("mae") <= 0.15).as("mae_ok"))
+
   /** Distinct (doc_id, p) token positions covered by a DUPLICATED
     * 8-token window (one that occurs ≥2 times corpus-wide) — the
     * detection core shared by q100 (measure) and q104 (strip).
@@ -971,33 +1018,28 @@ object TextQueries {
     // q53's self-judging contract: precision 1.0 and exact Jaccard
     // against the exhaustive tier restricted to batch-touching pairs,
     // banding recall ≥ 0.9; the oracle recomputes the restricted
-    // exhaustive count and emits literal TRUEs.
+    // exhaustive count and emits literal TRUEs. Both sides run on the
+    // [[GateStratumMaxDocId]] certification stratum (= the whole
+    // corpus at real sf dirs), so gate work is scale-invariant under
+    // replication and a full-suite 100× run completes.
     QueryDef.sql(
       "q113_incremental_dedup",
       s"""WITH pairs AS ($jaccardPairsSql)
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_expected,
          |  TRUE AS precision_ok, TRUE AS jaccard_ok, TRUE AS recall_ok
-         |FROM pairs WHERE doc_a % 5 = 0 OR doc_b % 5 = 0""".stripMargin) { (s, dir) =>
+         |FROM pairs WHERE (doc_a % 5 = 0 OR doc_b % 5 = 0)
+         |  AND doc_a < 1000000 AND doc_b < 1000000""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir).documentsSpread
+        .filter(col("doc_id") < GateStratumMaxDocId)
       val corpus = docs.filter(col("doc_id") % 5 =!= 0)
       val batch = docs.filter(col("doc_id") % 5 === 0)
       val inc = NearDup.incrementalPairs(NearDup.buildIndex(corpus), batch)
         .select(col("doc_a"), col("doc_b"), col("jaccard").as("j_lsh"))
       val ex = jaccardPairs(s, dir)
         .filter(col("doc_a") % 5 === 0 || col("doc_b") % 5 === 0)
+        .filter(col("doc_a") < GateStratumMaxDocId && col("doc_b") < GateStratumMaxDocId)
         .select(col("doc_a"), col("doc_b"), col("jaccard").as("j_ex"))
-      inc.join(ex, Seq("doc_a", "doc_b"), "full_outer")
-        .agg(
-          count(col("j_ex")).as("n_ex"),
-          count(when(col("j_ex").isNull, 1)).as("n_phantom"),
-          count(when(col("j_lsh").isNotNull && col("j_ex").isNotNull
-            && col("j_lsh") =!= col("j_ex"), 1)).as("n_mismatch"),
-          count(when(col("j_lsh").isNotNull && col("j_ex").isNotNull, 1)).as("n_both"))
-        .select(
-          col("n_ex").as("n_expected"),
-          (col("n_phantom") === 0).as("precision_ok"),
-          (col("n_mismatch") === 0).as("jaccard_ok"),
-          (col("n_both") >= col("n_ex") * 0.9).as("recall_ok"))
+      incrementalGate(inc, ex)
     },
 
     // ------------------------------------------------------------------
@@ -1011,14 +1053,18 @@ object TextQueries {
     // error over all exhaustive pairs against 0.15 — a ~7σ margin on
     // the sample mean, so the boolean is stable, while a broken seed,
     // kernel, or banding construction lands far outside it. The
-    // oracle recomputes the pair count and emits literal TRUE.
+    // oracle recomputes the pair count and emits literal TRUE. Runs
+    // on the [[GateStratumMaxDocId]] certification stratum (= the
+    // whole corpus at real sf dirs) so the exhaustive tier's work is
+    // scale-invariant under replication.
     QueryDef.sql(
       "q114_minhash_estimator",
       s"""WITH pairs AS ($jaccardPairsSql)
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, TRUE AS mae_ok
-         |FROM pairs""".stripMargin) { (s, dir) =>
+         |FROM pairs WHERE doc_a < 1000000 AND doc_b < 1000000""".stripMargin) { (s, dir) =>
       val nh = 16
       val sig = Tables(s, dir).documentsSpread
+        .filter(col("doc_id") < GateStratumMaxDocId)
         .select(col("doc_id"), explode(CharNgramHashesSorted(col("text"), 3)).as("gh"))
         .groupBy(col("doc_id"))
         .agg(
@@ -1026,16 +1072,13 @@ object TextQueries {
           (1 until nh).map(j => min(xxhash64(lit(j), col("gh"))).as(s"h$j")): _*)
         .select(col("doc_id"),
           array((0 until nh).map(j => col(s"h$j")): _*).as("sig"))
-      jaccardPairs(s, dir)
+      estimatorGate(jaccardPairs(s, dir)
+        .filter(col("doc_a") < GateStratumMaxDocId && col("doc_b") < GateStratumMaxDocId)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
         .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
         .select(col("jaccard"),
-          (LongPosAgreeCount(col("sa"), col("sb")).cast(DoubleType) / nh).as("est"))
-        .agg(
-          count(lit(1)).as("n_pairs"),
-          avg(abs(col("est") - col("jaccard"))).as("mae"))
-        .select(col("n_pairs"), (col("mae") <= 0.15).as("mae_ok"))
+          (LongPosAgreeCount(col("sa"), col("sb")).cast(DoubleType) / nh).as("est")))
     },
 
     // ------------------------------------------------------------------
