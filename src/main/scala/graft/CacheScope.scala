@@ -56,6 +56,30 @@ object CacheScope {
     p
   }
 
+  /** Below this optimizer size estimate a shared subtree is cheaper
+    * to recompute than to materialize: the r7→r8 measurements had the
+    * unconditional persist costing q125 1.95× and q111 1.29× at sf0.1
+    * while winning 1.3–1.6× at 100×. Measured estimates for those
+    * subtrees: 0.5–0.9 MB at sf0.1 vs 53–95 MB at 100× — 16 MB sits
+    * 16× above the small side and 3× below the large side.
+    */
+  val DefaultLargeInputBytes: Long = 16L << 20
+
+  /** [[scoped]] only when the subtree's optimizer size estimate says
+    * the input is big enough for materialization to pay for itself;
+    * below the threshold the frame is returned unpersisted and each
+    * consumer recomputes it (correct for any deterministic subtree —
+    * the same contract recomputation after [[drain]] already relies
+    * on). Size comes from `optimizedPlan.stats.sizeInBytes` — scan
+    * estimates (file sizes) propagated through projections — so the
+    * decision needs no extra job.
+    */
+  def scopedIfLarge(
+      df: DataFrame,
+      minInputBytes: Long = DefaultLargeInputBytes): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes >= minInputBytes) scoped(df)
+    else df
+
   /** Unpersist (non-blocking) everything registered since the last
     * drain. Safe to call with nothing registered, and safe to call
     * after `catalog.clearCache()` (unpersist of an evicted frame is a

@@ -453,7 +453,7 @@ object AdvancedQueries {
       // ignores nulls, and without the filter the daily count(1) leg
       // would count a (day, NULL) row that the global countDistinct
       // leg excludes (latent today — the corpus has no null user_ids)
-      val du = CacheScope.scoped(Tables(s, dir).events
+      val du = CacheScope.scopedIfLarge(Tables(s, dir).events
         .filter(col("user_id").isNotNull)
         .select(
           date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),

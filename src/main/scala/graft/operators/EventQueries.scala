@@ -279,7 +279,7 @@ object EventQueries {
       // the distinct (day, user) table feeds three consumers (days,
       // the window explode, the per-day count); persisted so the
       // corpus-sized dedup shuffle runs once (r7 scan audit: events x3)
-      val du = graft.CacheScope.scoped(Tables(s, dir).events
+      val du = graft.CacheScope.scopedIfLarge(Tables(s, dir).events
         .select(to_date(col("ts")).as("day"), col("user_id")).distinct())
       val days = du.select(col("day")).distinct()
       val roll = du

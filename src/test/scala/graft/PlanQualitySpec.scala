@@ -263,8 +263,6 @@ class PlanQualitySpec extends AnyFunSuite {
     // the pin (e.g. q126 counts sess's 3 consumers + DistributedRank's
     // internal ranged cache)
     val factOf = Map(
-      "q111_hll_daily_union" -> ("events", 3),
-      "q125_rolling_distinct_users" -> ("events", 3),
       // q126's sweep legs are consumed at build time (runningSum's
       // counts action); the FINAL plan keeps ranged + the ns leg — 2
       // cached reads, and dropping the sess persist leaves only 1
@@ -278,6 +276,26 @@ class PlanQualitySpec extends AnyFunSuite {
       val factCaches = imrs.filter(_.cacheBuilder.cachedPlan.toString.contains(s"$fact.parquet"))
       assert(factCaches.size >= minTotal,
         s"$q: ${factCaches.size} cached $fact reads, expected >= $minTotal — a persist was dropped")
+      CacheScope.drain()
+    }
+  }
+
+  test("q111/q125 size-conditional persist: below the threshold the du subtree is NOT materialized") {
+    // their shared distinct-(day,user) subtree moved to scopedIfLarge
+    // in r8: at tiny SF the optimizer estimate (~kBs) is far below
+    // DefaultLargeInputBytes, so the designed plan recomputes the
+    // subtree rather than pay persist round-trips (measured 1.95×/
+    // 1.29× overhead at sf0.1). The fires-when-large side is pinned
+    // by CacheScopeSpec on the threshold mechanism and by the 100×
+    // bench band (estimates there: 53–95 MB vs the 16 MB threshold).
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    Seq("q111_hll_daily_union", "q125_rolling_distinct_users").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, dir)
+      val imrs = df.queryExecution.withCachedData
+        .collect { case r: InMemoryRelation => r }
+      val factCaches = imrs.filter(_.cacheBuilder.cachedPlan.toString.contains("events.parquet"))
+      assert(factCaches.isEmpty,
+        s"$q: expected the small-input path to skip the persist, found ${factCaches.size}")
       CacheScope.drain()
     }
   }
