@@ -17,7 +17,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QueryDef(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    scanBudgets: Map[String, Int] = Map.empty) {
+
+  /** Declare this query's per-table file-scan budget where it
+    * legitimately exceeds the suite default of 1 (PlanQualitySpec's
+    * ScanCensus guard fails any plan over budget). Every call site
+    * carries a comment justifying WHY the extra scan is the designed
+    * plan rather than the q128 defect class (a shared subtree whose
+    * persist was dropped).
+    */
+  def withScanBudget(budgets: (String, Int)*): QueryDef =
+    copy(scanBudgets = scanBudgets ++ budgets)
+
+  /** Default: every table is scanned at most once per execution. */
+  def scanBudget(table: String): Int = scanBudgets.getOrElse(table, 1)
+}
 
 object QueryDef {
   def sql(name: String, oracleSql: String)(

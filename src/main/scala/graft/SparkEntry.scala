@@ -11,7 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private lazy val defs: Seq[QueryDef] =
+  /** Full registry incl. scan budgets — PlanQualitySpec's suite-wide
+    * ScanCensus guard iterates this, not just the name->run map. */
+  lazy val defs: Seq[QueryDef] = ScanBudgets.annotate(
     operators.RelationalQueries.all ++
       operators.EventQueries.all ++
       operators.TextQueries.all ++
@@ -20,7 +22,7 @@ object SparkEntry {
       operators.AnalyticsQueries.all ++
       operators.AdvancedQueries.all ++
       operators.CurationQueries.all ++
-      operators.FlightQueries.all
+      operators.FlightQueries.all)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

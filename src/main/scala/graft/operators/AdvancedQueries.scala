@@ -523,12 +523,20 @@ object AdvancedQueries {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
-      val fwd = Tables(s, dir).orders
+      // symmetrize via explode, NOT fwd.union(fwd.reversed): a union of
+      // two projections of the same subtree duplicates it — Catalyst
+      // shares nothing across union children, so the r8 scan census
+      // counted the orders scan AND the lead-window shuffle twice per
+      // edge materialization (the ConnectedComponents.runAlternating
+      // lesson, applied here)
+      val e = Tables(s, dir).orders
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
         .withColumn("nxt", lead(col("o_orderkey"), 1).over(w))
         .filter(col("nxt").isNotNull)
-        .select(col("o_orderkey").as("a"), col("nxt").as("b"))
-      val e = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+        .select(explode(array(
+          struct(col("o_orderkey").as("a"), col("nxt").as("b")),
+          struct(col("nxt").as("a"), col("o_orderkey").as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
       PageRank.fixedPoint(e, iters = 5)
         .select(col("node"), col("v").cast("long").as("rank_fp"))
         .orderBy(col("node"))

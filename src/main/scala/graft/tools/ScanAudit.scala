@@ -2,15 +2,14 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev utility: sweep every registered query's initial physical plan
-  * and report per-table FileScan counts alongside cache reads and
-  * reused exchanges — the q128 defect class (N consumers of one
-  * derived frame whose differing pushed filters defeat exchange
-  * canonicalization, silently multiplying scans of the same table).
-  * A table scanned >1× with zero InMemoryTableScan/ReusedExchange in
-  * the same plan is worth reading by hand; some are legitimate
-  * (different column subsets, or a second scan that is genuinely
-  * cheaper than caching).
+/** Dev utility: sweep every registered query and report per-table
+  * file-scan counts from [[graft.plans.ScanCensus]] — the structural
+  * census PlanQualitySpec's suite-wide budget guard enforces (r8;
+  * previously this tool grepped plan text, which double-counts every
+  * cached subtree because InMemoryTableScan prints its cached plan's
+  * FileScan too). A table scanned more than its QueryDef budget fails
+  * the spec; this tool is the human-readable sweep for finding and
+  * sizing those budgets.
   *
   * Usage: runMain graft.tools.ScanAudit [sfDir] [minScans=2]
   */
@@ -25,21 +24,18 @@ object ScanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val table = "([a-z_]+)\\.parquet".r
-    graft.SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+    graft.SparkEntry.defs.sortBy(_.name).foreach { d =>
       try {
-        val p = graft.SparkEntry.queries(name)(spark, sfDir)
-          .queryExecution.executedPlan.toString
-        val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
-        val byTable = scans.flatMap(l => table.findFirstMatchIn(l).map(_.group(1)))
-          .groupBy(identity).view.mapValues(_.size).toMap
-        val cacheReads = p.linesIterator.count(_.contains("InMemoryTableScan"))
-        val reused = p.linesIterator.count(_.contains("ReusedExchange"))
-        val hot = byTable.filter(_._2 >= minScans)
-        if (hot.nonEmpty)
-          println(f"$name%-28s ${hot.map { case (t, c) => s"$t x$c" }.mkString(", ")}%-28s cacheReads=$cacheReads reusedEx=$reused")
+        val counts = graft.plans.ScanCensus.tableScans(d.run(spark, sfDir))
+        val hot = counts.filter { case (t, c) => c >= math.max(minScans, 1) }
+        val over = counts.filter { case (t, c) => c > d.scanBudget(t) }
+        if (hot.nonEmpty || over.nonEmpty) {
+          val mark = if (over.nonEmpty) "OVER-BUDGET" else ""
+          println(f"${d.name}%-28s ${hot.map { case (t, c) => s"$t x$c" }.mkString(", ")}%-36s $mark")
+        }
       } catch {
-        case e: Throwable => println(f"$name%-28s BUILD-ERROR ${String.valueOf(e.getMessage).take(80)}")
+        case e: Throwable =>
+          println(f"${d.name}%-28s BUILD-ERROR ${String.valueOf(e.getMessage).take(80)}")
       } finally graft.CacheScope.drain()
     }
     spark.stop()

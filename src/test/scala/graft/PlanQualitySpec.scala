@@ -300,6 +300,27 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("suite-wide scan budget: no query file-scans any table beyond its declared budget") {
+    // the r7 ScanAudit promoted to CI (r8): a structural FileScan
+    // census (graft.plans.ScanCensus — AQE-unwrapped, subquery-aware,
+    // each distinct cached build plan counted once) over EVERY
+    // registered query, checked against the default budget of 1 scan
+    // per table with the annotated exceptions in graft.ScanBudgets.
+    // A new query that grows the q128 defect class (shared shuffle
+    // subtree re-derived per consumer) fails here, not on the cluster.
+    val failures = SparkEntry.defs.flatMap { d =>
+      val counts =
+        try plans.ScanCensus.tableScans(d.run(spark, dir))
+        finally CacheScope.drain()
+      counts.collect {
+        case (t, c) if c > d.scanBudget(t) =>
+          s"${d.name}: $t scanned ${c}x, budget ${d.scanBudget(t)}"
+      }
+    }
+    assert(failures.isEmpty,
+      s"over-budget scans (fix the plan or justify in ScanBudgets):\n${failures.mkString("\n")}")
+  }
+
   test("no query plan contains a collect-driven loop (Exchange-only shuffles)") {
     // structural smoke over every registered query at tiny SF: the plan
     // tree must build lazily without driver-side actions
