@@ -37,14 +37,33 @@ object ConnectedComponents {
     */
   def runWithRounds(edges: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
     val Seq(ca, cb) = edges.columns.toSeq.take(2)
+    val sel = edges.select(col(ca).as("src"), col(cb).as("dst"))
     // Persisted pre-partitioned on the per-round join key: the cached
     // scan keeps its hash partitioning, so each round's offers join
     // shuffles only the (small) labels side, never the adjacency.
-    val sym = edges.select(col(ca).as("src"), col(cb).as("dst"))
-      .unionAll(edges.select(col(cb).as("src"), col(ca).as("dst")))
+    // Symmetrized via explode, not self-union — a union of two
+    // projections of the same subtree would derive (and scan) the
+    // caller's pair pipeline twice at materialization (the q101
+    // lesson).
+    val sym = sel
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .distinct()
       .repartition(col("src"))
       .persist()
+    // Materialize the adjacency cache up front, under the caller's
+    // session conf (AQE coalesces its layout sensibly): the exact row
+    // count sizes the loop's partitions — byte estimates through the
+    // callers' pair pipelines inflate wildly (see partsForRows).
+    val symCount = sym.count()
+    // The propagation loop runs inside a TightLoop scope (AQE off +
+    // count-sized partitions): each round's checkpoint is ONE job of
+    // few right-sized tasks instead of AQE's per-exchange scheduling
+    // round-trips — the measured iterative floor (see TightLoop).
+    TightLoop.scoped(
+      sel.sparkSession, TightLoop.partsForRows(sel.sparkSession, symCount)) {
 
     // Lineage: each round's plan references the previous round's, so
     // raw lineage compounds per iteration and blows the heap by round
@@ -56,31 +75,38 @@ object ConnectedComponents {
     // Seeding: labels start at min(self, neighbors) — round 1 fused
     // into initialization, so clique-shaped components (the near-dup
     // norm) are already at fixpoint when the loop begins.
-    var labels = sym.groupBy("src").agg(min("dst").as("mn"))
-      .select(col("src").as("node"), least(col("src"), col("mn")).as("label"))
-      .localCheckpoint()
-
     // Convergence via the label-sum invariant: labels only ever
     // decrease, so the total is strictly monotone and stalls exactly
-    // at fixpoint — one tiny aggregate over the checkpointed RDD per
-    // round instead of a join+count. DECIMAL(38,0): n × maxId cannot
-    // overflow.
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val d = df.agg(sum(col("label").cast(DecimalType(38, 0)))).head().getDecimal(0)
-      if (d == null) java.math.BigDecimal.ZERO else d
+    // at fixpoint. DECIMAL(38,0): n × maxId cannot overflow. The sum
+    // rides the checkpoint materialization itself via observe()
+    // (CollectMetrics in the checkpointed plan, reported when the
+    // eager-checkpoint action's execution ends) — ONE job per round
+    // where r7 ran two (checkpoint, then a separate aggregate scan of
+    // the materialized blocks); measured ~25% off q69/q77 wall.
+    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val cp = df.observe(obs,
+        coalesce(sum(col("label").cast(DecimalType(38, 0))),
+          lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0))).as("s"))
+        .localCheckpoint()
+      (cp, obs.get("s").asInstanceOf[java.math.BigDecimal])
     }
 
-    var prevSum = labelSum(labels)
+    val seeded = checkpointWithSum(
+      sym.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src").as("node"), least(col("src"), col("mn")).as("label")))
+    var labels = seeded._1
+    var prevSum = seeded._2
+
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       // each neighbor offers its label; nodes keep the min seen
       val offers = sym.join(labels, sym("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
-      val next = labels.unionAll(offers)
-        .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint()
-      val s = labelSum(next)
+      val (next, s) = checkpointWithSum(
+        labels.unionAll(offers)
+          .groupBy("node").agg(min("label").as("label")))
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels.unpersist()
@@ -89,6 +115,7 @@ object ConnectedComponents {
     }
     sym.unpersist()
     (labels, iter)
+    }
   }
 
   /** Alternating small-star / large-star connected components — the
@@ -123,9 +150,16 @@ object ConnectedComponents {
     // plan constraints — self-unions over a constraint-carrying plan
     // (e.g. an upstream filter whose column is pruned on one branch)
     // trip UnionBase.rewriteConstraints ("key not found: <attr>").
+    // The checkpoint's materialization also yields the exact edge
+    // count (via observe, no extra job) — the loop-partition sizing
+    // input; byte estimates through pair pipelines inflate wildly
+    // (see TightLoop.partsForRows).
+    val rawObs = org.apache.spark.sql.Observation()
     val raw = edges
       .select(col(ca).as("a"), col(cb).as("b"))
+      .observe(rawObs, count(lit(1)).as("n"))
       .localCheckpoint()
+    val rawCount = rawObs.get("n").asInstanceOf[Long]
     // NO Union operators anywhere below: a Union whose children share
     // lineage (self-union) or sit over a checkpointed plan with
     // preserved constraints trips Catalyst's
@@ -191,36 +225,54 @@ object ConnectedComponents {
     // collision masking a real change is negligible, and the oracle
     // gate would catch it). Hashes are full-range 64-bit, so the sum
     // goes through DECIMAL(38,0) — long sum would overflow under ANSI.
-    def fingerprint(e: DataFrame): (Long, BigDecimal) = {
-      val r = e.agg(
-        count(lit(1)),
+    // The fingerprint rides the checkpoint materialization via
+    // observe() (one job per round instead of checkpoint + separate
+    // aggregate — the r8 iterative-floor shave; the distinct() that
+    // canonicalizes the edge set for it stays, same plan as r7).
+    def checkpointWithFingerprint(df: DataFrame): (DataFrame, (Long, BigDecimal)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val cp = df.observe(obs,
+        count(lit(1)).as("n"),
         coalesce(
           sum(xxhash64(col("a"), col("b")).cast(DecimalType(38, 0))),
-          lit(java.math.BigDecimal.ZERO))).head()
-      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+          lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0))).as("h"))
+        .localCheckpoint()
+      val m = obs.get
+      (cp, (m("n").asInstanceOf[Long],
+        BigDecimal(m("h").asInstanceOf[java.math.BigDecimal])))
     }
 
-    var e = raw
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint()
-    var prev = fingerprint(e)
-    var converged = prev._1 == 0L
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      // ONE star pair per checkpoint/fingerprint. (Measured: composing
-      // two pairs per probe to halve the fixed costs made q91 ~30%
-      // SLOWER — the star work itself dominates, and the extra
-      // confirmation iteration then costs two rounds, not one.)
-      // localCheckpoint per round: same lineage-truncation rationale
-      // as the hash-min loop above.
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val fp = fingerprint(next)
-      converged = fp == prev
-      prev = fp
-      e = next
-      iter += 1
+    // The star loop runs inside a TightLoop scope (AQE off +
+    // count-sized partitions): one job per round instead of AQE's
+    // per-exchange scheduling round-trips — the measured iterative
+    // floor (see TightLoop). The symmetric closure doubles rows,
+    // hence 2× the checkpointed count.
+    val loopState = TightLoop.scoped(
+      raw.sparkSession,
+      TightLoop.partsForRows(raw.sparkSession, 2L * rawCount)) {
+      val canon = checkpointWithFingerprint(
+        raw.filter(col("a") =!= col("b")).distinct())
+      var e = canon._1
+      var prev = canon._2
+      var converged = prev._1 == 0L
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        // ONE star pair per checkpoint/fingerprint. (Measured: composing
+        // two pairs per probe to halve the fixed costs made q91 ~30%
+        // SLOWER — the star work itself dominates, and the extra
+        // confirmation iteration then costs two rounds, not one.)
+        // localCheckpoint per round: same lineage-truncation rationale
+        // as the hash-min loop above.
+        val (next, fp) = checkpointWithFingerprint(smallStar(largeStar(e)))
+        converged = fp == prev
+        prev = fp
+        e = next
+        iter += 1
+      }
+      (e, iter)
     }
+    val e = loopState._1
+    val iter = loopState._2
     // Fixpoint is a star forest: every non-root points at its root.
     // Roots (and self-loop-only nodes) label themselves via the
     // left join's coalesce.
