@@ -18,7 +18,8 @@ final case class QueryDef(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    scanBudgets: Map[String, Int] = Map.empty) {
+    scanBudgets: Map[String, Int] = Map.empty,
+    buildActionScans: Map[String, Int] = Map.empty) {
 
   /** Declare this query's per-table file-scan budget where it
     * legitimately exceeds the suite default of 1 (PlanQualitySpec's
@@ -32,6 +33,21 @@ final case class QueryDef(
 
   /** Default: every table is scanned at most once per execution. */
   def scanBudget(table: String): Int = scanBudgets.getOrElse(table, 1)
+
+  /** Declare file scans this query runs at BUILD time via its own
+    * driver actions (rank/offset jobs, pre-counts) — on top of the
+    * per-execution [[scanBudget]]. Enforced by the job-level
+    * [[graft.plans.ScanLedger]] guard, which sees every action; each
+    * call site carries a justification comment like [[withScanBudget]].
+    */
+  def withBuildActionScans(extra: (String, Int)*): QueryDef =
+    copy(buildActionScans = buildActionScans ++ extra)
+
+  /** Total scans one build-and-execute of this query may run,
+    * job-level: the plan budget plus declared build-time actions.
+    */
+  def ledgerBudget(table: String): Int =
+    scanBudget(table) + buildActionScans.getOrElse(table, 0)
 }
 
 object QueryDef {

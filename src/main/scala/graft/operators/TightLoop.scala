@@ -29,10 +29,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Contract: same single-owner threading rule as [[graft.CacheScope]]
   * — session conf is process-global, so a concurrent query planned
-  * while a loop holds the scope would pick up the loop's settings.
+  * while a loop holds the scope would pick up the loop's settings
+  * (AQE off + a loop-sized partition count) without asking for them.
   * Build and run queries sequentially per session.
+  *
+  * The contract is ENFORCED, not just documented (the same CAS-owner
+  * pattern [[graft.CacheScope]] uses): [[scoped]] records the owning
+  * thread on entry, a second thread opening a scope while one is held
+  * throws loudly instead of stacking conf mutations whose unwind
+  * order would restore the WRONG previous values, and same-thread
+  * re-entry (a loop inside a loop) is rejected for the same reason —
+  * the inner restore would reinstate the outer loop's settings as if
+  * they were the session's. Exit always releases ownership, even when
+  * the body throws.
   */
 object TightLoop {
+
+  /** Owning thread of the currently open scope, or null. One scope per
+    * process at a time: the conf being mutated is process-global.
+    */
+  private val owner = new java.util.concurrent.atomic.AtomicReference[Thread](null)
 
   /** Partition count for the loop's exchanges: linear in the
     * optimizer's size estimate for the loop's input (no extra job),
@@ -74,6 +90,15 @@ object TightLoop {
   }
 
   def scoped[A](spark: SparkSession, parts: Int)(body: => A): A = {
+    val me = Thread.currentThread()
+    val prev = owner.compareAndExchange(null, me)
+    if (prev != null)
+      throw new java.util.ConcurrentModificationException(
+        s"TightLoop: thread '${me.getName}' tried to open a loop scope while " +
+          s"thread '${prev.getName}' holds one — the scope mutates process-global " +
+          "session conf (AQE off, loop-sized shuffle partitions), so a second " +
+          "scope would plan with the first's settings and restore them in the " +
+          "wrong order (see the object contract); run loops sequentially")
     val conf = spark.conf
     val prevAqe = conf.getOption("spark.sql.adaptive.enabled")
     val prevParts = conf.getOption("spark.sql.shuffle.partitions")
@@ -85,6 +110,7 @@ object TightLoop {
         conf.set("spark.sql.adaptive.enabled", _))
       prevParts.fold(conf.unset("spark.sql.shuffle.partitions"))(
         conf.set("spark.sql.shuffle.partitions", _))
+      owner.set(null)
     }
   }
 }

@@ -23,15 +23,26 @@ import scala.collection.mutable
   * Blind spot, by design: scans a query runs at BUILD time via its own
   * driver actions (e.g. q116's valuesAtRanks pass, DistributedRank's
   * offset jobs) finish before the returned plan exists — those are
-  * pinned by their dedicated plan/probe specs, not this census.
+  * counted by the job-level [[ScanLedger]] (r9), which accumulates
+  * this census over EVERY action a query runs, not just the returned
+  * plan's.
   */
 object ScanCensus {
 
   private val TableRe = "([a-z_0-9]+)\\.parquet".r
 
   /** table name -> number of file scans one execution would run. */
-  def tableScans(df: DataFrame): Map[String, Int] = {
-    val seenCaches = mutable.Set[AnyRef]()
+  def tableScans(df: DataFrame): Map[String, Int] =
+    tableScans(df.queryExecution.executedPlan, mutable.Set[AnyRef]())
+
+  /** Plan-level census with a CALLER-OWNED cached-relation dedup set:
+    * [[ScanLedger]] accumulates one census per driver action and a
+    * cached build plan's scan must count once per ledger scope (the
+    * cache materializes once), not once per action that reads it.
+    */
+  def tableScans(
+      root: SparkPlan,
+      seenCaches: mutable.Set[AnyRef]): Map[String, Int] = {
     val hits = mutable.Buffer[String]()
     def walk(n: SparkPlan): Unit = {
       n match {
@@ -50,7 +61,7 @@ object ScanCensus {
       n.children.foreach(walk)
       n.subqueries.foreach(walk)
     }
-    walk(df.queryExecution.executedPlan)
+    walk(root)
     hits.groupBy(identity).view.mapValues(_.size).toMap
   }
 }
