@@ -79,10 +79,9 @@ object ScanBudgets {
     // LSH band signatures (persisted, spec-pinned) + corpus text
     // rescan for the exact-verify tier and survivor output
     "q53_neardup_pipeline" -> Map("documents" -> 3),
-    // centroid sliver (vec_id<16), query sliver (1%), full assignment
-    // scan, and the by-id fetch in the search join — two of the four
-    // are filter-pruned slivers, not full reads
-    "q54_ann_ivf" -> Map("embeddings" -> 4),
+    // full assignment scan + ONE cached sliver pass that feeds every
+    // model role (centroids twice, query set once) — r9, down from 4
+    "q54_ann_ivf" -> Map("embeddings" -> 2),
     // repetition stats computed per doc, then corpus-level quantile
     // model applied back
     "q74_repetition_signals" -> Map("documents" -> 2),

@@ -126,10 +126,19 @@ object AdvancedQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM s)
          |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir).embeddings
-      val assigned = SimilarityOps.ivfAssign(e, 16)
-      val queries = e.filter(col("vec_id") % 100 === 0)
-      SimilarityOps.ivfSearch(assigned, queries, 5,
-        SimilarityOps.ivfCentroids(e, 16), nprobe = 2)
+      // ONE cached sliver scan feeds both model roles (r9, was 3
+      // separate sliver scans): centroids (vec_id<16, twice — assign +
+      // probe sides) and the 1% query set all come from a single
+      // filter-pruned pass over the table; only the full assignment
+      // scan reads the corpus. At 100 TB two extra passes over a 60 TB
+      // table are two extra passes, pruned or not.
+      val sliver = graft.CacheScope.scoped(
+        e.filter(col("vec_id") < 16 || col("vec_id") % 100 === 0))
+      val cents = sliver.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val queries = sliver.filter(col("vec_id") % 100 === 0)
+      val assigned = SimilarityOps.ivfAssign(e, cents)
+      SimilarityOps.ivfSearch(assigned, queries, 5, cents, nprobe = 2)
         .orderBy(col("qid"), col("rn"))
     },
 

@@ -43,10 +43,18 @@ object SimilarityOps {
   private def cosF(av: Column, bv: Column, ansq: Column, bnsq: Column): Column =
     (dot(av, bv) / sqrt(ansq * bnsq)).cast(FloatType)
 
-  def ivfAssign(embeddings: DataFrame, k: Int): DataFrame = {
+  def ivfAssign(embeddings: DataFrame, k: Int): DataFrame =
+    ivfAssign(embeddings, ivfCentroids(embeddings, k))
+
+  /** Assignment against a CALLER-SUPPLIED centroid frame — the form a
+    * caller that already has the centroids (cached sliver, trained
+    * model) should use, so the centroid derivation isn't re-planned
+    * (and at 100 TB re-scanned) inside the assignment. q54 shares one
+    * persisted sliver between this and the probe side.
+    */
+  def ivfAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val e = embeddings.withColumn("nsq", normSq(col("embedding")))
-    val c = ivfCentroids(embeddings, k)
-      .withColumn("cnsq", normSq(col("cv")))
+    val c = centroids.withColumn("cnsq", normSq(col("cv")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
     e.crossJoin(broadcast(c))
       .withColumn("sim", cosF(col("embedding"), col("cv"), col("nsq"), col("cnsq")))
