@@ -58,9 +58,14 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       if (ok) dt else -1.0
     }
+    // SPARK_GRAFT_RUNS=1 drops the repeat/min methodology — for long
+    // large-SF artifact runs (100× replicas) where each query is tens
+    // of seconds, proportional host noise is small and a second pass
+    // doubles a multi-hour wall clock. Artifacts record which mode ran.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val results = names.map { name =>
       val a = timeOnce(name)
-      val b = if (a >= 0) timeOnce(name) else -1.0
+      val b = if (runs <= 1) a else if (a >= 0) timeOnce(name) else -1.0
       if (a < 0 || b < 0) name -> -1.0
       else {
         // two samples disagreeing by >1.5× means one caught a host

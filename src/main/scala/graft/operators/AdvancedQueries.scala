@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object AdvancedQueries {
 
+  /** Cell-size bound above which q102's SemDeDup compares within
+    * (cell, LSH sub-bucket) instead of the whole cell — sized so it
+    * cannot fire at certification scales (measured max cell: 42 at
+    * sf0.01, 148 at sf0.1) while bounding the in-cell quadratic at
+    * replica scale (max cell 17,687 at 100× = 1.31e9 pairs uncapped).
+    * Mirrored literally in the q102 oracle SQL.
+    */
+  private[operators] val SemDedupCellCap = 256
+
   val all: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     // q42 — left as-of join: per event, the most recent order (by
@@ -563,31 +572,69 @@ object AdvancedQueries {
     // while the join is a plain equi-join on cell. Cosines float32-
     // cast before comparison (the q30/q31 contract), so kept/removed
     // decisions — and the oracle hash — are engine-exact.
+    // Oversized cells are SUB-BUCKETED (r9): within-cell comparison is
+    // |cell|² by definition, and at 100× replication the max cell
+    // reaches 17,687 vectors — 1.31e9 in-cell pairs (measured,
+    // `graft.tools.BandProfile q102`), the suite's worst remaining
+    // cliff. Cells over [[SemDedupCellCap]] (256; measured max cell is
+    // 42 at sf0.01 and 148 at sf0.1, so the condition CANNOT fire at
+    // certification scales and the oracle hash is unchanged) compare
+    // only within (cell, 8-bit hyperplane LSH bucket) — the q61
+    // signature, which the oracle mirrors bit-for-bit from the same
+    // float32 plane literals. Near-identical vectors agree on
+    // hyperplane signs with probability →1 as cos→1, so the
+    // registered trade is bounded and one-sided: some sub-threshold
+    // pairs straddle buckets and survive dedup; everything removed is
+    // still exactly-verified cos ≥ 0.35. The conditional is part of
+    // BOTH definitions (engine and oracle), not a runtime knob — the
+    // same defined-semantics pattern as q103's band-bucket cap.
     QueryDef.sql(
-      "q102_semdedup",
-      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
-         |asg AS (
-         |  SELECT vec_id, embedding, cell FROM (
-         |    SELECT e.vec_id, e.embedding, c.cid AS cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${SimilarityQueries.cosSql("e.embedding", "c.cv")} DESC, c.cid) AS arn
-         |    FROM embeddings e CROSS JOIN c) WHERE arn = 1),
-         |removed AS (
-         |  SELECT DISTINCT a.vec_id FROM asg a JOIN asg b
-         |    ON a.cell = b.cell AND b.vec_id < a.vec_id
-         |  WHERE ${SimilarityQueries.cosSql("a.embedding", "b.embedding")} >= 0.35)
-         |SELECT asg.vec_id, CAST(asg.cell AS BIGINT) AS cell,
-         |  r.vec_id IS NULL AS kept
-         |FROM asg LEFT JOIN removed r ON asg.vec_id = r.vec_id
-         |ORDER BY asg.vec_id""".stripMargin) { (s, dir) =>
+      "q102_semdedup", {
+        val planes = (0 until 8).map { j =>
+          val arr = SimilarityOps.hyperplane(j).mkString("[", ",", "]")
+          s"($j, CAST($arr AS REAL[]))"
+        }.mkString(",\n  ")
+        s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+           |planes(j, p) AS (VALUES
+           |  $planes),
+           |asg AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cid AS cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${SimilarityQueries.cosSql("e.embedding", "c.cv")} DESC, c.cid) AS arn
+           |    FROM embeddings e CROSS JOIN c) WHERE arn = 1),
+           |cs AS (SELECT cell, COUNT(*) AS cn FROM asg GROUP BY cell),
+           |bkt AS (
+           |  SELECT asg.vec_id,
+           |    CAST(SUM(CASE WHEN ${SimilarityQueries.dotSql("asg.embedding", "pl.p")} > 0
+           |      THEN CAST(1 AS BIGINT) << pl.j ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bk
+           |  FROM asg CROSS JOIN planes pl GROUP BY asg.vec_id),
+           |sb AS (
+           |  SELECT a.vec_id, a.embedding, a.cell,
+           |    CASE WHEN cs.cn > 256 THEN bkt.bk ELSE CAST(0 AS BIGINT) END AS sub
+           |  FROM asg a JOIN cs USING (cell) JOIN bkt USING (vec_id)),
+           |removed AS (
+           |  SELECT DISTINCT a.vec_id FROM sb a JOIN sb b
+           |    ON a.cell = b.cell AND a.sub = b.sub AND b.vec_id < a.vec_id
+           |  WHERE ${SimilarityQueries.cosSql("a.embedding", "b.embedding")} >= 0.35)
+           |SELECT sb.vec_id, CAST(sb.cell AS BIGINT) AS cell,
+           |  r.vec_id IS NULL AS kept
+           |FROM sb LEFT JOIN removed r ON sb.vec_id = r.vec_id
+           |ORDER BY sb.vec_id""".stripMargin
+      }) { (s, dir) =>
       import graft.functions.VectorFunctions
-      val asg = CacheScope.scoped(
+      val asg0 = CacheScope.scoped(
         SimilarityOps.ivfAssign(Tables(s, dir).embeddings, 16)
           .withColumn("nsq", VectorFunctions.normSq(col("embedding"))))
-      val a = asg.select(col("cell"), col("vec_id"),
+      val sizes = asg0.groupBy(col("cell")).agg(count(lit(1)).as("cn"))
+      val asg = asg0.join(broadcast(sizes), "cell")
+        .withColumn("sub",
+          when(col("cn") > SemDedupCellCap,
+            SimilarityOps.lshBucketCol(col("embedding"), 8)).otherwise(lit(0L)))
+      val a = asg.select(col("cell"), col("sub"), col("vec_id"),
         col("embedding").as("va"), col("nsq").as("ansq"))
-      val b = asg.select(col("cell"), col("vec_id").as("bid"),
+      val b = asg.select(col("cell"), col("sub"), col("vec_id").as("bid"),
         col("embedding").as("vb"), col("nsq").as("bnsq"))
-      val removed = a.join(b, "cell")
+      val removed = a.join(b, Seq("cell", "sub"))
         .filter(col("bid") < col("vec_id"))
         .withColumn("cos",
           (VectorFunctions.dot(col("va"), col("vb"))

@@ -55,12 +55,23 @@ object SimilarityOps {
   def ivfAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val e = embeddings.withColumn("nsq", normSq(col("embedding")))
     val c = centroids.withColumn("cnsq", normSq(col("cv")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+    // Nearest-centroid by ARGMAX AGGREGATION, not a row_number window
+    // (r9): the window form exchanged the full n×k cross-join output —
+    // embeddings included — to rank k rows per vector; max_by with the
+    // (sim, −cid) ordering struct (same sim-desc, cid-asc tiebreak,
+    // bitwise-identical selection) reduces map-side to ONE row per
+    // vector per partition before any exchange, so the shuffle is
+    // n rows regardless of k. That is what lets k grow with the
+    // corpus (q102's SemDeDup contract) without the assignment
+    // becoming the new quadratic term.
     e.crossJoin(broadcast(c))
       .withColumn("sim", cosF(col("embedding"), col("cv"), col("nsq"), col("cnsq")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("cid"), col("embedding")),
+        struct(col("sim"), (-col("cid")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.cid").as("cell"))
   }
 
   /** Top-k neighbors for `queries` (vec_id, embedding), searching each
@@ -182,17 +193,22 @@ object SimilarityOps {
   def hyperplane(j: Int): Array[Float] =
     Array.tabulate(Dim)(i => math.cos(i.toDouble * (j + 1) + j).toFloat)
 
-  def lshSignature(embeddings: DataFrame, bits: Int): DataFrame = {
-    // Hyperplanes materialized once as array<float> literals so each
-    // projection is ONE codegen'd Float32Dot over the row (the
-    // interpreted aggregate(zip_with(...)) form of the same sum
-    // measured ~100× slower per row — see VectorFunctions.dotHof).
-    def proj(j: Int) = Float32Dot(col("embedding"), typedlit(hyperplane(j)))
-    val sig = (0 until bits)
-      .map(j => when(proj(j) > 0, lit(1L << j)).otherwise(lit(0L)))
+  /** The signature as a COLUMN over any embedding expression —
+    * hyperplanes materialized once as array<float> literals so each
+    * projection is ONE codegen'd Float32Dot over the row (the
+    * interpreted aggregate(zip_with(...)) form of the same sum
+    * measured ~100× slower per row — see VectorFunctions.dotHof).
+    * Shared by [[lshSignature]] (q61) and q102's oversized-cell
+    * sub-bucketing.
+    */
+  def lshBucketCol(emb: Column, bits: Int): Column =
+    (0 until bits)
+      .map(j => when(Float32Dot(emb, typedlit(hyperplane(j))) > 0,
+        lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    embeddings.withColumn("lsh_bucket", sig)
-  }
+
+  def lshSignature(embeddings: DataFrame, bits: Int): DataFrame =
+    embeddings.withColumn("lsh_bucket", lshBucketCol(col("embedding"), bits))
 
   /** Intra-bucket candidate pairs with verified float32 cosine ≥
     * `minCos` (norms computed once per vector; same arithmetic as the

@@ -34,13 +34,28 @@ object SimilarityQueries {
   private[operators] def cosSql(a: String, b: String): String =
     s"CAST(${dotSql(a, b)} / sqrt(${dotSql(a, a)} * ${dotSql(b, b)}) AS REAL)"
 
+  /** Certification stratum for the exhaustive vector baselines
+    * (q30/q31) — the vec_id analogue of the text tier's
+    * `GateStratumMaxDocId` (r9): replica scaling shifts vec_ids by
+    * r×1e6, so ids below this bound are exactly the un-replicated
+    * corpus at any replication factor (and the whole corpus at every
+    * real sf dir, where ids top out ≈2e3). Brute-force |Q|×n scoring
+    * and all-pairs n²/2 enumeration are quadratic BY DEFINITION —
+    * these two queries are the ground-truth tier the ANN recall specs
+    * measure against; the corpus-wide production paths are q54/q61/
+    * q107, all measured sublinear at 100×.
+    */
+  private[operators] val VecStratumMaxId = 1000000L
+
   val all: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
-    // q30 — brute-force cosine top-5 for a deterministic query subset.
+    // q30 — brute-force cosine top-5 for a deterministic query subset
+    // (certification stratum; production path q54/q107).
     QueryDef.sql(
       "q30_cosine_topk",
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
-         |n AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+      s"""WITH e0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $VecStratumMaxId),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM e0 WHERE vec_id % 100 = 0),
+         |n AS (SELECT vec_id AS nid, embedding AS nv FROM e0),
          |s AS (SELECT qid, nid, ${cosSql("qv", "nv")} AS cos
          |      FROM q JOIN n ON qid <> nid)
          |SELECT qid, nid, cos FROM (
@@ -49,6 +64,7 @@ object SimilarityQueries {
       // norms computed once per vector, not once per pair (arithmetic
       // identical: dot/sqrt(nsq_q * nsq_n))
       val e = Tables(s, dir).embeddings
+        .filter(col("vec_id") < VecStratumMaxId)
         .withColumn("nsq", VectorFunctions.normSq(col("embedding")))
       val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nsq").as("qnsq"))
@@ -65,16 +81,18 @@ object SimilarityQueries {
 
     // ------------------------------------------------------------------
     // q31 — all high-similarity pairs (cos ≥ 0.35, the top tail of
-    // this corpus): the embedding near-dup primitive.
+    // this corpus): the embedding near-dup primitive (certification
+    // stratum; production path q61).
     QueryDef.sql(
       "q31_embedding_sim_pairs",
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $VecStratumMaxId)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${cosSql("a.embedding", "b.embedding")} AS cos
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir).embeddings
+        .filter(col("vec_id") < VecStratumMaxId)
         .withColumn("nsq", VectorFunctions.normSq(col("embedding")))
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nsq").as("ansq"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nsq").as("bnsq"))

