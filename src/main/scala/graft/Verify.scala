@@ -18,16 +18,33 @@ object Verify {
     // optional comma-separated subset for local iteration (same knob
     // as Bench); the driver never sets it, so its runs stay complete
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    // Job-level scan ledger per query (r9): every action a query runs
+    // — dump write, rank/offset pre-passes, adjacency
+    // materializations — has its file scans counted and checked
+    // against the declared budgets (plan budget + build actions).
+    // Emitted as scan_ledger.json next to the dumps; an over-budget
+    // query WARNs here (ScanLedgerSpec is the hard gate) so a driver
+    // run still completes while leaving the evidence.
+    val ledgers = scala.collection.mutable.TreeMap[String, Map[String, Int]]()
+    SparkEntry.defs
+      .filter(d => only.forall(_.contains(d.name)))
+      .foreach { d =>
+      val name = d.name
       // queries that persist() intermediates (q53 clusters/sigs, the
       // PQ sub-distance tables) would otherwise accumulate cache
-      // entries across all ~117 dumps — bound each query to its own
+      // entries across all ~132 dumps — bound each query to its own
       spark.catalog.clearCache()
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val (_, counts) = plans.ScanLedger.measure(spark) {
+          d.run(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        }
+        ledgers(name) = counts
+        counts.collect { case (t, c) if c > d.ledgerBudget(t) =>
+          System.err.println(
+            s"[verify] $name OVER-BUDGET: $t scanned ${c}x across all jobs, budget ${d.ledgerBudget(t)}")
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       finally CacheScope.drain()
@@ -47,6 +64,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val ledgerJson = ledgers
+      .map { case (name, counts) =>
+        val inner = counts.toSeq.sorted
+          .map { case (t, c) => s"${q(t)}: $c" }.mkString("{", ",", "}")
+        s"${q(name)}: $inner"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/scan_ledger.json"), ledgerJson)
     spark.stop()
   }
 }
