@@ -62,7 +62,12 @@ object Bench {
     // large-SF artifact runs (100× replicas) where each query is tens
     // of seconds, proportional host noise is small and a second pass
     // doubles a multi-hour wall clock. Artifacts record which mode ran.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").trim match {
+      case "1" => 1
+      case "2" => 2
+      case other => sys.error(
+        s"SPARK_GRAFT_RUNS must be '1' or '2', got '$other' — failing fast before any query runs")
+    }
     val results = names.map { name =>
       val a = timeOnce(name)
       val b = if (runs <= 1) a else if (a >= 0) timeOnce(name) else -1.0

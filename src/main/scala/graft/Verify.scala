@@ -25,7 +25,11 @@ object Verify {
     // Emitted as scan_ledger.json next to the dumps; an over-budget
     // query WARNs here (ScanLedgerSpec is the hard gate) so a driver
     // run still completes while leaving the evidence.
-    val ledgers = scala.collection.mutable.TreeMap[String, Map[String, Int]]()
+    // name -> (counts, over-budget subset); the over-budget map makes
+    // the artifact self-describing (r9 nit: the WARN went only to
+    // stderr, so the committed json could not show whether a budget
+    // fired). LedgerAudit can re-check a committed artifact offline.
+    val ledgers = scala.collection.mutable.TreeMap[String, (Map[String, Int], Map[String, Int])]()
     SparkEntry.defs
       .filter(d => only.forall(_.contains(d.name)))
       .foreach { d =>
@@ -39,8 +43,9 @@ object Verify {
           d.run(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
         }
-        ledgers(name) = counts
-        counts.collect { case (t, c) if c > d.ledgerBudget(t) =>
+        val over = counts.filter { case (t, c) => c > d.ledgerBudget(t) }
+        ledgers(name) = (counts, over)
+        over.foreach { case (t, c) =>
           System.err.println(
             s"[verify] $name OVER-BUDGET: $t scanned ${c}x across all jobs, budget ${d.ledgerBudget(t)}")
         }
@@ -64,11 +69,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    def obj(m: Map[String, Int]): String = m.toSeq.sorted
+      .map { case (t, c) => s"${q(t)}: $c" }.mkString("{", ",", "}")
     val ledgerJson = ledgers
-      .map { case (name, counts) =>
-        val inner = counts.toSeq.sorted
-          .map { case (t, c) => s"${q(t)}: $c" }.mkString("{", ",", "}")
-        s"${q(name)}: $inner"
+      .map { case (name, (counts, over)) =>
+        s"${q(name)}: {${q("counts")}: ${obj(counts)}, ${q("over_budget")}: ${obj(over)}}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/scan_ledger.json"), ledgerJson)
     spark.stop()

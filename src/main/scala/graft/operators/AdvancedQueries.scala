@@ -610,7 +610,7 @@ object AdvancedQueries {
            |  FROM asg CROSS JOIN planes pl GROUP BY asg.vec_id),
            |sb AS (
            |  SELECT a.vec_id, a.embedding, a.cell,
-           |    CASE WHEN cs.cn > 256 THEN bkt.bk ELSE CAST(0 AS BIGINT) END AS sub
+           |    CASE WHEN cs.cn > $SemDedupCellCap THEN bkt.bk ELSE CAST(0 AS BIGINT) END AS sub
            |  FROM asg a JOIN cs USING (cell) JOIN bkt USING (vec_id)),
            |removed AS (
            |  SELECT DISTINCT a.vec_id FROM sb a JOIN sb b

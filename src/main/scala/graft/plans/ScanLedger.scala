@@ -74,8 +74,12 @@ object ScanLedger {
     val out =
       try body
       finally {
-        org.apache.spark.graft.ListenerBusFlush.waitUntilEmpty(spark.sparkContext)
-        spark.listenerManager.unregister(ledger)
+        // the flush can throw (Spark's waitUntilEmpty times out after
+        // ~10s on a backlogged bus) — unregister must run regardless,
+        // or the leaked ledger accumulates cross-query counts on the
+        // shared session and masks body's own exception
+        try org.apache.spark.graft.ListenerBusFlush.waitUntilEmpty(spark.sparkContext)
+        finally spark.listenerManager.unregister(ledger)
       }
     (out, ledger.counts)
   }

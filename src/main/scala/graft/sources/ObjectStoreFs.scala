@@ -82,7 +82,10 @@ final class ObjectStoreFs extends FileSystem {
   private def fromLocal(p: Path): Path = {
     val rootStr = Path.getPathWithoutSchemeAndAuthority(root).toString
     val full = Path.getPathWithoutSchemeAndAuthority(p).toString
-    require(full.startsWith(rootStr), s"$p escapes bucket root $root")
+    // path-segment boundary, not a bare string prefix: root /x/b1 must
+    // reject sibling /x/b10/key (which would otherwise yield key "0/key")
+    require(full == rootStr || full.startsWith(rootStr + "/"),
+      s"$p escapes bucket root $root")
     val key = full.stripPrefix(rootStr).stripPrefix("/")
     new Path(if (key.isEmpty) s"$fsUri/" else s"$fsUri/$key")
   }

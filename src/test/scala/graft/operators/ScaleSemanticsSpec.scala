@@ -87,7 +87,8 @@ class ScaleSemanticsSpec extends AnyFunSuite {
       assert(sql(q).contains("vec_id < 1000000"), s"$q oracle lost the vec stratum")
     assert(sql("q27_lsh_candidates").contains("16") &&
       sql("q27_lsh_candidates").contains("hub"), "q27 oracle lost the bucket cap")
-    assert(sql("q102_semdedup").contains("cn > 256"), "q102 oracle lost the cell cap")
+    assert(sql("q102_semdedup").contains(s"cn > ${AdvancedQueries.SemDedupCellCap}"),
+      "q102 oracle lost the cell cap")
   }
 
   test("q102 cell cap: an oversized cell of identical vectors still dedups to its hub") {
