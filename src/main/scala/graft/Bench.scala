@@ -43,6 +43,20 @@ object Bench {
     // warmup: cheapest scan-agg query, untimed
     try exec("q06_forecast_revenue") catch { case _: Throwable => () }
 
+    // SPARK_GRAFT_PROBE=1: append a JvmProbe snapshot per timing to
+    // bench_probe.jsonl — the r10 suite-state-tax instrumentation
+    // (heap/GC/classes/scratch-disk/block counts before and after
+    // each query, so in-suite inflation can be attributed to the
+    // counter that actually grew)
+    val probe = sys.env.get("SPARK_GRAFT_PROBE").contains("1")
+    def probeLine(line: String): Unit =
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_probe.jsonl"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: Throwable => () }
+
     def timeOnce(name: String): Double = {
       // queries that persist() intermediates (q53 clusters/bandRows)
       // register them in the plan-canonicalized CacheManager — without
@@ -53,9 +67,16 @@ object Bench {
       // inflate allocation-heavy queries 3-5× (measured on q53).
       // Explicit GC between timings isolates each query's own cost.
       System.gc()
+      val before = if (probe) graft.tools.JvmProbe.snapshot(spark) else Nil
       val t0 = System.nanoTime()
       val ok = try { exec(name); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
+      if (probe) {
+        val after = graft.tools.JvmProbe.snapshot(spark)
+        probeLine(s"""{"q":"$name","ok":$ok,"sec":${f"$dt%.3f"},""" +
+          s""""before":${graft.tools.JvmProbe.jsonObject(before)},""" +
+          s""""after":${graft.tools.JvmProbe.jsonObject(after)}}""")
+      }
       if (ok) dt else -1.0
     }
     // SPARK_GRAFT_RUNS=1 drops the repeat/min methodology — for long

@@ -244,10 +244,23 @@ object SimilarityQueries {
     // so top-5-by-distance hash-matches across engines. Joins: codes
     // ⋈ distance-table on (m, code) — the table side is |Q|×128 rows,
     // broadcastable at any corpus size.
+    //
+    // CERTIFICATION STRATUM (r10, the q113/q114 precedent at
+    // [[graft.operators.TextQueries]] GateStratumMaxDocId): both the
+    // query set and the scanned corpus are `vec_id <
+    // [[VecStratumMaxId]]`, mirrored in the oracle. Full-scan ADC is
+    // |Q|×n BY DEFINITION — every query ranks every vector — so over
+    // a replicated corpus it grows quadratically (25M candidate pairs
+    // out-spilled the r9 100× run; it was the suite's only failure).
+    // Its ground truth is only *needed* where PQSpec and q107 certify
+    // against it, and the stratum is exactly the un-replicated corpus
+    // at any replication factor (= the whole corpus at every real sf
+    // dir, so the oracle hash is unchanged there). The corpus-wide
+    // production path is q107 (IVF-pruned ADC), measured sublinear.
     QueryDef.sql(
       "q106_pq_search",
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
-         |$pqDistSql,
+         |${pqDistSqlFrom(s"(SELECT * FROM embeddings WHERE vec_id < $VecStratumMaxId)")},
          |codes AS (SELECT vec_id, m, cid AS code FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
          |    ORDER BY dist, cid) AS rn FROM d) WHERE rn = 1),
@@ -261,7 +274,7 @@ object SimilarityQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
          |    ORDER BY CAST(adist AS REAL), nid) AS rn FROM a)
          |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
-      val e = Tables(s, dir).embeddings
+      val e = Tables(s, dir).embeddings.filter(col("vec_id") < VecStratumMaxId)
       val codebook = e.filter(col("vec_id") < 16)
       val d = CacheScope.scoped(pqSubDistances(e, codebook))
       val w0 = Window.partitionBy(col("vec_id"), col("m"))
@@ -412,12 +425,17 @@ object SimilarityQueries {
   /** DuckDB mirror of [[pqSubDistances]]'s `d` output as CTE text
     * (expects `c(cid, cv)` in scope; emits sub/ev/cs/d).
     */
-  private def pqDistSql: String = {
+  private def pqDistSql: String = pqDistSqlFrom("embeddings")
+
+  /** [[pqDistSql]] with an explicit corpus source — q106 passes the
+    * certification-stratum subselect, q105/q107 the whole table.
+    */
+  private def pqDistSqlFrom(src: String): String = {
     def dot8(a: String, b: String): String =
       s"list_sum(list_transform(range(1, 9), j -> CAST($a[j]*$b[j] AS DOUBLE)))"
     s"""sub AS (SELECT unnest(range(0, 8)) AS m),
        |ev AS (SELECT vec_id, m, embedding[m*8+1 : m*8+8] AS es
-       |       FROM embeddings CROSS JOIN sub),
+       |       FROM $src CROSS JOIN sub),
        |cs AS (SELECT cid, m, cv[m*8+1 : m*8+8] AS csub FROM c CROSS JOIN sub),
        |d AS (SELECT ev.vec_id, ev.m, cs.cid,
        |  CAST(${dot8("es", "es")} + ${dot8("csub", "csub")}

@@ -65,6 +65,10 @@ object TextQueries {
   def minhashSigProbe(s: org.apache.spark.sql.SparkSession, dir: String) =
     minhashSig(s, dir)
 
+  /** Probe access for `graft.tools.BandProfile` (q66 cap sizing). */
+  def simhashSigProbe(s: org.apache.spark.sql.SparkSession, dir: String, nBits: Int) =
+    simhashSig(s, dir, nBits)
+
   private val simhashBits = 16
   private val hiHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
@@ -211,18 +215,44 @@ object TextQueries {
     */
   private[operators] val LshBucketCap = 16
 
+  /** Hub-star cap for q66's 16-bit simhash-half buckets — the same
+    * defined-semantics policy as [[LshBucketCap]], but sized to its
+    * own measured collision profile (`BandProfile <dir> q66`): 16-bit
+    * halves collide far more than 32-bit minhash bands, with max
+    * buckets of 41 at sf0.01 and 404 at sf0.1 — so the cap sits at
+    * 512 (> 404: provably non-binding at certification scales, the
+    * oracle answer there is exhaustive) while at 100× replication
+    * (max bucket 32,646, uncapped candidate volume 2.60e9 pairs) it
+    * collapses oversized buckets to hub stars, leaving 29.2M pairs.
+    */
+  private[operators] val SimhashBucketCap = 512
+
   private[operators] def lshCandidates(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    // the banded rows have THREE consumers (bucket-size aggregation +
+    // the small-bucket pair join + the over-cap star join) — persist
+    // them too, so each consumer reads one cache instead of re-running
+    // the two-band union over the signature cache per consumer (r9
+    // verdict item 5: the cap machinery re-read `bands` three times
+    // and tripled q27's sf0.1 time). The signature stays persisted
+    // separately: filling the bands cache reads it twice, and without
+    // it each read re-runs the shingle/min-hash aggregation.
     val sig = CacheScope.scoped(minhashSig(s, dir))
     val bands = sig.select(col("doc_id"), lit(1).as("band"), concat(col("mh1"), col("mh2")).as("bk"))
       .unionAll(sig.select(col("doc_id"), lit(2).as("band"), concat(col("mh3"), col("mh4")).as("bk")))
     val sizes = bands.groupBy(col("band"), col("bk"))
       .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("hub"))
-    val small = bands.join(sizes.filter(col("bn") <= LshBucketCap), Seq("band", "bk"))
+    // persist the rows WITH their bucket size/hub attached: the pair
+    // join's two sides and the star branch are then three cache reads
+    // instead of three separate bands⋈sizes joins (r9 verdict item 5:
+    // the cap machinery re-read `bands` three times and tripled q27's
+    // sf0.1 time)
+    val sized = CacheScope.scoped(bands.join(sizes, Seq("band", "bk")))
+    val small = sized.filter(col("bn") <= LshBucketCap)
     val a = small.select(col("band"), col("bk"), col("doc_id").as("doc_a"))
     val b = small.select(col("band"), col("bk"), col("doc_id").as("doc_b"))
     val allPairs = a.join(b, Seq("band", "bk")).filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-    val starPairs = bands.join(sizes.filter(col("bn") > LshBucketCap), Seq("band", "bk"))
+    val starPairs = sized.filter(col("bn") > LshBucketCap)
       .filter(col("doc_id") =!= col("hub"))
       .select(least(col("hub"), col("doc_id")).as("doc_a"),
         greatest(col("hub"), col("doc_id")).as("doc_b"))
@@ -403,34 +433,82 @@ object TextQueries {
     },
 
     // ------------------------------------------------------------------
-    // q66 — SimHash hamming near-dup, exactly oracled: pairs whose
-    // 32-bit signatures differ in ≤1 bit. The scale path is pigeonhole
-    // banding — split the signature into two 16-bit halves; hamming ≤1
-    // means at most one half differs, so every qualifying pair shares
-    // at least one half verbatim and the equi-join on (band, half) is
-    // COMPLETE, not approximate. Candidates then verify with one
-    // xor+bit_count. The oracle brute-forces the O(n²) truth in
-    // DuckDB; at 100 TB widen to 64 bits / 4 bands — same algebra.
+    // q66 — SimHash hamming near-dup: pairs whose 32-bit signatures
+    // differ in ≤1 bit. The scale path is pigeonhole banding — split
+    // the signature into two 16-bit halves; hamming ≤1 means at most
+    // one half differs, so every qualifying pair shares at least one
+    // half verbatim and the equi-join on (band, half) finds it.
+    // Candidates then verify with one xor+bit_count.
+    //
+    // The half buckets are hub-star CAPPED at [[SimhashBucketCap]] —
+    // the r9/r10 defined-semantics bound, mirrored literally in the
+    // oracle below: a 16-bit half over a skewed corpus collides far
+    // more than a 32-bit minhash band (measured max bucket: 41 at
+    // sf0.01, 404 at sf0.1, 32,646 at 100× replication where the
+    // uncapped join's candidate volume reaches 2.60e9 pairs and the
+    // r9 suite spent 99.1 s on it — `graft.tools.BandProfile <dir>
+    // q66`). Buckets over the cap emit only their hub (min doc_id)
+    // star — hub connectivity preserved, per-bucket volume linear,
+    // 100× candidate volume 29.2M (90× down). The cap cannot bind at
+    // certification scales (512 > 404), so the oracle answer there is
+    // the exhaustive one, and ScaleSemanticsSpec pins both sides of
+    // the bound synthetically. At 100 TB widen to 64 bits / 4 bands —
+    // same algebra, same cap.
     QueryDef.sql(
       "q66_simhash_neardup",
-      s"""WITH sig AS (${simhashSql(32)})
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+      s"""WITH sig AS (${simhashSql(32)}),
+         |bnd AS (
+         |  SELECT doc_id, simhash, 1 AS band, (simhash >> 16) & 65535 AS bv FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, simhash, 2 AS band, simhash & 65535 AS bv FROM sig),
+         |bsz AS (SELECT band, bv, COUNT(*) AS bn, MIN(doc_id) AS hub
+         |        FROM bnd GROUP BY band, bv),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, a.simhash AS sa, b.doc_id AS doc_b, b.simhash AS sb
+         |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bv = b.bv
+         |    AND a.doc_id < b.doc_id
+         |  JOIN bsz s ON s.band = a.band AND s.bv = a.bv AND s.bn <= $SimhashBucketCap
+         |  UNION ALL
+         |  SELECT h.doc_id, h.simhash, n.doc_id, n.simhash
+         |  FROM bnd n
+         |  JOIN bsz s ON s.band = n.band AND s.bv = n.bv AND s.bn > $SimhashBucketCap
+         |  JOIN bnd h ON h.band = n.band AND h.bv = n.bv AND h.doc_id = s.hub
+         |  WHERE n.doc_id <> s.hub)
+         |SELECT DISTINCT doc_a, doc_b,
+         |  CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 1
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      // persisted: the band self-join reads the signature from cache
-      // instead of re-running the 32-column sign-sum aggregation twice
-      val sig = CacheScope.scoped(simhashSig(s, dir, 32))
+      // persisted with bucket size/hub attached: the pair join's two
+      // sides and the star branch's two sides are four cache reads —
+      // without the persist each branch re-runs the 32-column
+      // sign-sum aggregation AND its own bands⋈sizes join
       val half = lit(0xFFFFL)
-      val bandRows = sig.select(col("doc_id"), col("simhash"),
-        posexplode(array(
-          shiftright(col("simhash"), 16).bitwiseAND(half),
-          col("simhash").bitwiseAND(half))).as(Seq("band", "bv")))
-      bandRows.select(col("band"), col("bv"), col("doc_id").as("doc_a"), col("simhash").as("sa"))
-        .join(bandRows.select(col("band"), col("bv"), col("doc_id").as("doc_b"), col("simhash").as("sb")),
+      // bandRows itself is also persisted: filling `sized` reads it
+      // twice (join left + sizes agg), and each uncached read is a
+      // full sign-sum aggregation
+      val bandRows = CacheScope.scoped(
+        simhashSig(s, dir, 32).select(col("doc_id"), col("simhash"),
+          posexplode(array(
+            shiftright(col("simhash"), 16).bitwiseAND(half),
+            col("simhash").bitwiseAND(half))).as(Seq("band", "bv"))))
+      val sizes = bandRows.groupBy(col("band"), col("bv"))
+        .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("hub"))
+      val sized = CacheScope.scoped(bandRows.join(sizes, Seq("band", "bv")))
+      val small = sized.filter(col("bn") <= SimhashBucketCap)
+      val allPairs = small
+        .select(col("band"), col("bv"), col("doc_id").as("doc_a"), col("simhash").as("sa"))
+        .join(small.select(col("band"), col("bv"), col("doc_id").as("doc_b"), col("simhash").as("sb")),
           Seq("band", "bv"))
         .filter(col("doc_a") < col("doc_b"))
+      val big = sized.filter(col("bn") > SimhashBucketCap)
+      // hub = the bucket's min doc_id, so the hub side is always doc_a
+      val starPairs = big.filter(col("doc_id") === col("hub"))
+        .select(col("band"), col("bv"), col("doc_id").as("doc_a"), col("simhash").as("sa"))
+        .join(big.filter(col("doc_id") =!= col("hub"))
+          .select(col("band"), col("bv"), col("doc_id").as("doc_b"), col("simhash").as("sb")),
+          Seq("band", "bv"))
+      allPairs.select("doc_a", "doc_b", "sa", "sb")
+        .unionAll(starPairs.select("doc_a", "doc_b", "sa", "sb"))
         .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
         .filter(col("hamming") <= 1)
         .select("doc_a", "doc_b", "hamming").distinct()

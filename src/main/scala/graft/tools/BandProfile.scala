@@ -30,6 +30,12 @@ object BandProfile {
         sig.select(lit(1).as("band"), concat(col("mh1"), col("mh2")).as("bk"))
           .unionAll(sig.select(lit(2).as("band"), concat(col("mh3"), col("mh4")).as("bk")))
           .groupBy("band", "bk").agg(count(lit(1)).as("n"))
+      case "q66" =>
+        val sig = graft.operators.TextQueries.simhashSigProbe(spark, sfDir, 32)
+        val half = lit(0xFFFFL)
+        sig.select(lit(1).as("band"), shiftright(col("simhash"), 16).bitwiseAND(half).as("bk"))
+          .unionAll(sig.select(lit(2).as("band"), col("simhash").bitwiseAND(half).as("bk")))
+          .groupBy("band", "bk").agg(count(lit(1)).as("n"))
       case "q102" =>
         graft.operators.SimilarityOps
           .ivfAssign(graft.Tables(spark, sfDir).embeddings, 16)
@@ -49,6 +55,13 @@ object BandProfile {
       count(when(col("n") > 64, 1)).as("buckets_over64"),
       count(when(col("n") > 16, 1)).as("buckets_over16"))
     prof.show(false)
+    // residual volume under a hub-star cap: all-pairs below the cap
+    // plus one star edge per member above it
+    val capCols = Seq(128, 256, 512, 1024).map(c =>
+      sum(when(col("n") <= c, col("n") * (col("n") - 1) / 2)
+        .otherwise(col("n") - 1)).as(s"capped_vol_$c"))
+    val caps = buckets.agg(capCols.head, capCols.tail: _*)
+    caps.show(false)
     buckets.orderBy(col("n").desc).show(10, false)
     spark.stop()
   }

@@ -1,0 +1,53 @@
+package org.apache.spark.graft
+
+import java.io.File
+
+import org.apache.spark.SparkContext
+import org.apache.spark.storage.BlockId
+
+/** Read-only shim into `private[spark]` state for the suite-state-tax
+  * diagnosis (r10 task 1): three numbers the public API does not
+  * expose but the "accumulated executor state" hypothesis needs —
+  * what is ON DISK in the block-manager local dirs (leftover shuffle/
+  * spill files), what is IN the memory store (unreleased broadcast /
+  * RDD blocks), and how many of each block family survive between
+  * queries. Only the package placement is ours; every accessor is a
+  * getter Spark's own tests use.
+  */
+object SparkStateProbe {
+
+  /** The block-manager scratch dirs (shuffle data/index files, spills,
+    * temp blocks live under these).
+    */
+  def localDirs(sc: SparkContext): Seq[File] =
+    sc.env.blockManager.diskBlockManager.localDirs.toSeq
+
+  /** (file count, total bytes) under the scratch dirs. */
+  def diskUsage(sc: SparkContext): (Long, Long) = {
+    var files = 0L
+    var bytes = 0L
+    def walk(f: File): Unit = {
+      val children = f.listFiles()
+      if (children != null) children.foreach { c =>
+        if (c.isDirectory) walk(c)
+        else { files += 1; bytes += c.length() }
+      }
+    }
+    localDirs(sc).foreach(walk)
+    (files, bytes)
+  }
+
+  /** Bytes of storage memory in use (cached RDDs, broadcast values,
+    * unrolled blocks) as the unified memory manager accounts them.
+    */
+  def memoryStoreBytes(sc: SparkContext): Long =
+    sc.env.memoryManager.storageMemoryUsed
+
+  /** Live block counts by family: (rdd, broadcast, other). */
+  def blockCounts(sc: SparkContext): (Int, Int, Int) = {
+    val ids = sc.env.blockManager.getMatchingBlockIds((_: BlockId) => true)
+    val rdd = ids.count(_.isRDD)
+    val bc = ids.count(_.isBroadcast)
+    (rdd, bc, ids.size - rdd - bc)
+  }
+}

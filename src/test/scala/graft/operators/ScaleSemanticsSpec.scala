@@ -83,10 +83,12 @@ class ScaleSemanticsSpec extends AnyFunSuite {
     for (q <- Seq("q29_ngram_jaccard_pairs", "q53_neardup_pipeline",
         "q69_neardup_components", "q77_cluster_retention", "q113_incremental_dedup"))
       assert(sql(q).contains("doc_id < 1000000"), s"$q oracle lost the stratum")
-    for (q <- Seq("q30_cosine_topk", "q31_embedding_sim_pairs"))
+    for (q <- Seq("q30_cosine_topk", "q31_embedding_sim_pairs", "q106_pq_search"))
       assert(sql(q).contains("vec_id < 1000000"), s"$q oracle lost the vec stratum")
     assert(sql("q27_lsh_candidates").contains("16") &&
       sql("q27_lsh_candidates").contains("hub"), "q27 oracle lost the bucket cap")
+    assert(sql("q66_simhash_neardup").contains(s"bn <= ${TextQueries.SimhashBucketCap}") &&
+      sql("q66_simhash_neardup").contains("hub"), "q66 oracle lost the bucket cap")
     assert(sql("q102_semdedup").contains(s"cn > ${AdvancedQueries.SemDedupCellCap}"),
       "q102 oracle lost the cell cap")
   }
@@ -111,5 +113,44 @@ class ScaleSemanticsSpec extends AnyFunSuite {
     val kept = dupGroup.filter(_.getBoolean(2))
     assert(kept.map(_.getLong(0)).toSeq == Seq(100L),
       s"the 300-copy cell must keep exactly its min member, kept ${kept.length}")
+  }
+
+  test("q66 bucket cap: below the cap every hamming<=1 pair is listed; above it a hub star") {
+    // 10 identical docs: identical 32-bit simhash, both half-buckets of
+    // size 10 <= cap(512) -> exhaustive 10*9/2 = 45 pairs, hamming 0
+    val under = docsDir((0L until 10L).map(i => (i, longText("sim"))))
+    val pairsUnder = runQuery("q66_simhash_neardup", under)
+    assert(pairsUnder.length == 45, s"expected full enumeration, got ${pairsUnder.length}")
+    assert(pairsUnder.forall(_.getInt(2) == 0))
+
+    // 520 identical docs > cap(512): both half-buckets overflow, the
+    // listing collapses to the hub (min doc_id) star — 519 pairs, all
+    // anchored at doc 0, connectivity to the hub preserved
+    val over = docsDir((0L until 520L).map(i => (i, longText("sim"))))
+    val pairsOver = runQuery("q66_simhash_neardup", over)
+    assert(pairsOver.length == 519, s"expected hub star, got ${pairsOver.length}")
+    assert(pairsOver.forall(r => r.getLong(0) == 0L && r.getInt(2) == 0),
+      "every capped pair should anchor at the hub (min doc_id)")
+  }
+
+  test("q106 certification stratum: vectors above the replica-shift bound are invisible") {
+    val dir = Files.createTempDirectory("scale-sem-emb106").toString
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    def vec(seed: Long) = base.map(x => x + seed * 0.01f).toSeq
+    // 16 codebook seeds + 3 stratum queries (vec_id % 100 = 0) + two
+    // above-stratum vectors, one of which would itself be a query
+    // (1000100 % 100 = 0) if the stratum didn't exclude it
+    val rows = (0L until 16L).map(i => (i, vec(i))) ++
+      Seq(100L, 200L, 300L).map(i => (i, vec(i))) ++
+      Seq(1000000L, 1000100L).map(i => (i, vec(i)))
+    rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), lit(1).as("label"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = runQuery("q106_pq_search", dir)
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) < 1000000L && r.getLong(1) < 1000000L),
+      "ADC must neither rank nor emit vectors above the certification stratum")
+    assert(!out.exists(_.getLong(0) == 1000100L),
+      "an above-stratum vec_id divisible by 100 must not become a query")
   }
 }
