@@ -57,6 +57,18 @@ object Bench {
         java.nio.file.StandardOpenOption.APPEND)
       catch { case _: Throwable => () }
 
+    def settleScratch(): Unit = {
+      val sc = spark.sparkContext
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      var prev = Long.MaxValue
+      var bytes = org.apache.spark.graft.SparkStateProbe.diskUsage(sc)._2
+      while (bytes > (1L << 30) && bytes < prev && System.nanoTime() < deadline) {
+        prev = bytes
+        Thread.sleep(500)
+        bytes = org.apache.spark.graft.SparkStateProbe.diskUsage(sc)._2
+      }
+    }
+
     def timeOnce(name: String): Double = {
       // queries that persist() intermediates (q53 clusters/bandRows)
       // register them in the plan-canonicalized CacheManager — without
@@ -67,6 +79,17 @@ object Bench {
       // inflate allocation-heavy queries 3-5× (measured on q53).
       // Explicit GC between timings isolates each query's own cost.
       System.gc()
+      // ...but the GC only ENQUEUES the disk deletes: the cleaner
+      // drains them asynchronously, and if a predecessor left tens of
+      // GB of aborted shuffle/spill files the deletes run CONCURRENTLY
+      // with this query's IO. That was the r9 "suite-state tax"
+      // mechanism (ProbeSuiteTax, r10): the failed uncapped q106 left
+      // 74 GB on a 100%-full disk, still 73.6 GB at the next timing's
+      // start, and q107 ran 2.1× slow while they drained mid-query.
+      // Wait — bounded — until the scratch dirs stop shrinking before
+      // starting the clock; a no-op (one directory walk) whenever
+      // scratch is already small.
+      settleScratch()
       val before = if (probe) graft.tools.JvmProbe.snapshot(spark) else Nil
       val t0 = System.nanoTime()
       val ok = try { exec(name); true } catch { case _: Throwable => false }

@@ -1,6 +1,8 @@
 #!/bin/bash
-# Run graft.Bench directly on the compiled classes (no sbt overhead).
-# Usage: tools/run_bench.sh [sfdir]   — env: SPARK_GRAFT_ONLY, SPARK_DRIVER_MEM
+# Run graft.Bench (or GRAFT_MAIN) directly on the compiled classes (no
+# sbt overhead).
+# Usage: tools/run_bench.sh [sfdir]
+#   env: SPARK_GRAFT_ONLY, SPARK_DRIVER_MEM, GRAFT_MAIN
 set -euo pipefail
 export SPARK_GRAFT_SF_DIR="${1:-/root/testdata/sf0.1}"
 ADD_OPENS=""
@@ -15,4 +17,4 @@ exec java $ADD_OPENS \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Bench 2>/tmp/bench_stderr.log <<<""
+  "${GRAFT_MAIN:-graft.Bench}" 2>/tmp/bench_stderr.log <<<""
