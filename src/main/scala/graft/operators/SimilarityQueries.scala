@@ -360,24 +360,39 @@ object SimilarityQueries {
       val d = CacheScope.scoped(pqSubDistances(e, e.filter(col("vec_id") < 16)))
       val w0 = Window.partitionBy(col("vec_id"), col("m"))
         .orderBy(col("dist"), col("cid"))
-      val codes = d.withColumn("rn", row_number().over(w0))
+      // r10 ADC shape: the r9 form shipped 8 rows per (query,
+      // candidate) through a 3-way shuffle join + re-group — ~400M
+      // joined rows at 100×, and q107 was the suite's largest
+      // isolated cost (81.8 s). Pivot instead: ONE wide code row per
+      // vector (8 tiny columns) and ONE broadcast distance MAP per
+      // query (8×16 entries keyed m·16+cid), so the ADC sum is a
+      // pure codegen expression over a single candidate-sized join —
+      // no per-subspace row explosion, no re-group. The addition
+      // chain stays the literal m=0..7 left-to-right double sum over
+      // the identical float entries, so results (and the oracle,
+      // unchanged) hash-match the r9 form bit-for-bit.
+      val codeCols = (0 to 7).map(m =>
+        max(when(col("m") === m, col("cid"))).as(s"c$m"))
+      val codesWide = d.withColumn("rn", row_number().over(w0))
         .filter(col("rn") === 1)
-        .select(col("vec_id"), col("m"), col("cid").as("code"))
-      val qd = d.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("qqid"), col("m").as("qm"),
-          col("cid").as("qcid"), col("dist"))
+        .groupBy(col("vec_id"))
+        .agg(codeCols.head, codeCols.tail: _*)
+      // all 128 (m, cid) keys exist per query by construction of d,
+      // and keys are unique, so map content is order-insensitive
+      val qdMap = d.filter(col("vec_id") % 100 === 0)
+        .groupBy(col("vec_id").as("qqid"))
+        .agg(map_from_entries(collect_list(struct(
+          (col("m") * 16 + col("cid")).cast("int").as("k"),
+          col("dist").as("v")))).as("dm"))
       val cand = probes.join(assigned, "cell")
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nid"))
       val adist = (0 to 7).map(m =>
-          max(when(col("qm") === m, col("dist").cast("double"))))
+          element_at(col("dm"), (lit(m * 16) + col(s"c$m")).cast("int")).cast("double"))
         .reduce(_ + _)
-      val a = cand.join(codes, cand("nid") === codes("vec_id"))
-        .join(broadcast(qd),
-          col("qm") === col("m") && col("qcid") === col("code")
-            && col("qqid") === col("qid"))
-        .groupBy(col("qid"), col("nid"))
-        .agg(adist.as("adist"))
+      val a = cand.join(broadcast(codesWide), cand("nid") === codesWide("vec_id"))
+        .join(broadcast(qdMap), col("qqid") === col("qid"))
+        .select(col("qid"), col("nid"), adist.as("adist"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("adist").cast(FloatType), col("nid"))
       a.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
