@@ -2,21 +2,16 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main (driver contract): times every SparkEntry query on
-  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
-  *
-  * Methodology: one untimed warmup query first (JVM/codegen/catalog
-  * warm), then each query executed with a `noop`-format write — full
-  * materialization of every output column, no driver collect, no disk
-  * sink in the timing path (`count()` would let Spark skip column
-  * evaluation entirely). Each query runs TWICE and reports the min:
-  * single-shot timings on a shared microVM can be off by 40× from GC /
-  * page-fault / contention spikes (round 1 recorded a 1.6 s query at
-  * 75 s); the min of two is the plan's cost, not the machine's mood.
+/** Shared timing kernel for [[Bench]] (the driver's one-JSON-line
+  * contract) and [[BenchServe]] (the interleaved engine/DuckDB pair
+  * runner). ONE implementation of the methodology — session shape,
+  * noop-write materialization, between-timing hygiene — so the two
+  * entry points cannot drift apart and an interleaved pair measures
+  * exactly what the driver's bench measures.
   */
-object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+private[graft] object BenchKernel {
+
+  def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // AQE stays on (runtime broadcast conversion + partition coalescing
     // help the join-heavy queries even at bench scale); env knob for
@@ -30,78 +25,108 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
-    def exec(name: String): Unit =
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      finally CacheScope.drain()
+  /** Full materialization of every output column via a `noop`-format
+    * write — no driver collect, no disk sink in the timing path
+    * (`count()` would let Spark skip column evaluation entirely).
+    */
+  def exec(spark: SparkSession, sfDir: String, name: String): Unit =
+    try SparkEntry.queries(name)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    finally CacheScope.drain()
+
+  // SPARK_GRAFT_PROBE=1: append a JvmProbe snapshot per timing to
+  // bench_probe.jsonl — the r10 suite-state-tax instrumentation
+  // (heap/GC/classes/scratch-disk/block counts before and after
+  // each query, so in-suite inflation can be attributed to the
+  // counter that actually grew)
+  val probe: Boolean = sys.env.get("SPARK_GRAFT_PROBE").contains("1")
+
+  private def probeLine(line: String): Unit =
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_probe.jsonl"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Throwable => () }
+
+  /** Bounded wait until the block-manager scratch dirs stop shrinking
+    * — the r10 suite-state-tax fix: a GC only ENQUEUES the
+    * ContextCleaner's disk deletes, and if a predecessor left tens of
+    * GB of aborted shuffle/spill files the deletes would otherwise
+    * run CONCURRENTLY with the next timing's IO (ProbeSuiteTax: r9's
+    * failed uncapped q106 left 74 GB on a 100%-full disk, still
+    * 73.6 GB at q107's start, and q107 ran 2.1× slow while they
+    * drained mid-query). A no-op (one directory walk) whenever
+    * scratch is already small.
+    */
+  def settleScratch(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+    var prev = Long.MaxValue
+    var bytes = org.apache.spark.graft.SparkStateProbe.diskUsage(sc)._2
+    while (bytes > (1L << 30) && bytes < prev && System.nanoTime() < deadline) {
+      prev = bytes
+      Thread.sleep(500)
+      bytes = org.apache.spark.graft.SparkStateProbe.diskUsage(sc)._2
+    }
+  }
+
+  /** One timed execution with the full between-timing hygiene;
+    * −1.0 on failure.
+    */
+  def timeOnce(spark: SparkSession, sfDir: String, name: String): Double = {
+    // queries that persist() intermediates (q53 clusters/bandRows)
+    // register them in the plan-canonicalized CacheManager — without
+    // this the repeat run reads round-1 caches and times nothing
+    spark.catalog.clearCache()
+    // ContextCleaner reclaims dead broadcast/shuffle state only on
+    // driver GC; after ~100 query executions the leftover blocks
+    // inflate allocation-heavy queries 3-5× (measured on q53).
+    // Explicit GC between timings isolates each query's own cost.
+    System.gc()
+    settleScratch(spark)
+    val before = if (probe) graft.tools.JvmProbe.snapshot(spark) else Nil
+    val t0 = System.nanoTime()
+    val ok = try { exec(spark, sfDir, name); true } catch { case _: Throwable => false }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (probe) {
+      val after = graft.tools.JvmProbe.snapshot(spark)
+      probeLine(s"""{"q":"$name","ok":$ok,"sec":${f"$dt%.3f"},""" +
+        s""""before":${graft.tools.JvmProbe.jsonObject(before)},""" +
+        s""""after":${graft.tools.JvmProbe.jsonObject(after)}}""")
+    }
+    if (ok) dt else -1.0
+  }
+}
+
+/** Benchmark main (driver contract): times every SparkEntry query on
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
+  *
+  * Methodology: one untimed warmup query first (JVM/codegen/catalog
+  * warm), then each query executed with a `noop`-format write — full
+  * materialization of every output column, no driver collect, no disk
+  * sink in the timing path. Each query runs TWICE and reports the min:
+  * single-shot timings on a shared microVM can be off by 40× from GC /
+  * page-fault / contention spikes (round 1 recorded a 1.6 s query at
+  * 75 s); the min of two is the plan's cost, not the machine's mood.
+  */
+object Bench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = BenchKernel.buildSession()
 
     // optional comma-separated subset for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // warmup: cheapest scan-agg query, untimed
-    try exec("q06_forecast_revenue") catch { case _: Throwable => () }
+    try BenchKernel.exec(spark, sfDir, "q06_forecast_revenue")
+    catch { case _: Throwable => () }
 
-    // SPARK_GRAFT_PROBE=1: append a JvmProbe snapshot per timing to
-    // bench_probe.jsonl — the r10 suite-state-tax instrumentation
-    // (heap/GC/classes/scratch-disk/block counts before and after
-    // each query, so in-suite inflation can be attributed to the
-    // counter that actually grew)
-    val probe = sys.env.get("SPARK_GRAFT_PROBE").contains("1")
-    def probeLine(line: String): Unit =
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_probe.jsonl"),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
-      catch { case _: Throwable => () }
-
-    def settleScratch(): Unit = {
-      val sc = spark.sparkContext
-      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
-      var prev = Long.MaxValue
-      var bytes = org.apache.spark.graft.SparkStateProbe.diskUsage(sc)._2
-      while (bytes > (1L << 30) && bytes < prev && System.nanoTime() < deadline) {
-        prev = bytes
-        Thread.sleep(500)
-        bytes = org.apache.spark.graft.SparkStateProbe.diskUsage(sc)._2
-      }
-    }
-
-    def timeOnce(name: String): Double = {
-      // queries that persist() intermediates (q53 clusters/bandRows)
-      // register them in the plan-canonicalized CacheManager — without
-      // this the repeat run reads round-1 caches and times nothing
-      spark.catalog.clearCache()
-      // ContextCleaner reclaims dead broadcast/shuffle state only on
-      // driver GC; after ~100 query executions the leftover blocks
-      // inflate allocation-heavy queries 3-5× (measured on q53).
-      // Explicit GC between timings isolates each query's own cost.
-      System.gc()
-      // ...but the GC only ENQUEUES the disk deletes: the cleaner
-      // drains them asynchronously, and if a predecessor left tens of
-      // GB of aborted shuffle/spill files the deletes run CONCURRENTLY
-      // with this query's IO. That was the r9 "suite-state tax"
-      // mechanism (ProbeSuiteTax, r10): the failed uncapped q106 left
-      // 74 GB on a 100%-full disk, still 73.6 GB at the next timing's
-      // start, and q107 ran 2.1× slow while they drained mid-query.
-      // Wait — bounded — until the scratch dirs stop shrinking before
-      // starting the clock; a no-op (one directory walk) whenever
-      // scratch is already small.
-      settleScratch()
-      val before = if (probe) graft.tools.JvmProbe.snapshot(spark) else Nil
-      val t0 = System.nanoTime()
-      val ok = try { exec(name); true } catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (probe) {
-        val after = graft.tools.JvmProbe.snapshot(spark)
-        probeLine(s"""{"q":"$name","ok":$ok,"sec":${f"$dt%.3f"},""" +
-          s""""before":${graft.tools.JvmProbe.jsonObject(before)},""" +
-          s""""after":${graft.tools.JvmProbe.jsonObject(after)}}""")
-      }
-      if (ok) dt else -1.0
-    }
+    def timeOnce(name: String): Double = BenchKernel.timeOnce(spark, sfDir, name)
     // SPARK_GRAFT_RUNS=1 drops the repeat/min methodology — for long
     // large-SF artifact runs (100× replicas) where each query is tens
     // of seconds, proportional host noise is small and a second pass
@@ -153,5 +178,41 @@ object Bench {
     // between it and the harness' tail parse.
     spark.stop()
     println(line)
+  }
+}
+
+/** Interleaved-pair server: reads query names from stdin (one per
+  * line), times each with the SAME kernel as [[Bench]], and prints
+  * one `{"q":name,"sec":s}` JSON line per request (sec = −1 on
+  * failure). `tools/interleaved_bench.py` drives it, alternating each
+  * engine timing with the matching DuckDB oracle timing inside the
+  * same minutes-window, so the shared microVM's weather — which
+  * swings identical fresh-JVM runs 8× across an evening
+  * (ISOLATED100_r10 q48 control) — hits both engines of a pair
+  * roughly equally and largely cancels out of the RATIO, the number
+  * the 2×-of-baseline bar is actually about. A blank line or EOF
+  * ends the session. Names are timed as requested — repeats and
+  * min-taking are the orchestrator's job.
+  */
+object BenchServe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = BenchKernel.buildSession()
+    try BenchKernel.exec(spark, sfDir, "q06_forecast_revenue")
+    catch { case _: Throwable => () }
+    println("""{"ready":true}""")
+    Console.out.flush()
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
+    var line = in.readLine()
+    while (line != null && line.trim.nonEmpty) {
+      val name = line.trim
+      val sec =
+        if (SparkEntry.queries.contains(name)) BenchKernel.timeOnce(spark, sfDir, name)
+        else -1.0
+      println(s"""{"q":"$name","sec":${if (sec < 0) "-1" else f"$sec%.3f"}}""")
+      Console.out.flush()
+      line = in.readLine()
+    }
+    spark.stop()
   }
 }

@@ -239,14 +239,20 @@ object TextQueries {
     val sig = CacheScope.scoped(minhashSig(s, dir))
     val bands = sig.select(col("doc_id"), lit(1).as("band"), concat(col("mh1"), col("mh2")).as("bk"))
       .unionAll(sig.select(col("doc_id"), lit(2).as("band"), concat(col("mh3"), col("mh4")).as("bk")))
-    val sizes = bands.groupBy(col("band"), col("bk"))
-      .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("hub"))
-    // persist the rows WITH their bucket size/hub attached: the pair
-    // join's two sides and the star branch are then three cache reads
-    // instead of three separate bands⋈sizes joins (r9 verdict item 5:
-    // the cap machinery re-read `bands` three times and tripled q27's
-    // sf0.1 time)
-    val sized = CacheScope.scoped(bands.join(sizes, Seq("band", "bk")))
+    // bucket size + hub as ONE window pass over (band, bk): the r9
+    // form aggregated sizes separately and joined them back (two
+    // shuffles + a join); the window computes both in the single
+    // shuffle that partitions the bands — and leaves `sized`
+    // hash-partitioned on exactly the pair join's key, so the
+    // small-bucket self-join below needs no further exchange. Persist
+    // the rows WITH their size/hub attached: the pair join's two
+    // sides and the star branch are then three cache reads (r9
+    // verdict item 5: the cap machinery re-read `bands` three times
+    // and tripled q27's sf0.1 time).
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bk"))
+    val sized = CacheScope.scoped(bands
+      .withColumn("bn", count(lit(1)).over(wb))
+      .withColumn("hub", min(col("doc_id")).over(wb)))
     val small = sized.filter(col("bn") <= LshBucketCap)
     val a = small.select(col("band"), col("bk"), col("doc_id").as("doc_a"))
     val b = small.select(col("band"), col("bk"), col("doc_id").as("doc_b"))
