@@ -1,10 +1,14 @@
 #!/bin/bash
 # Run graft.Bench (or GRAFT_MAIN) directly on the compiled classes (no
 # sbt overhead).
-# Usage: tools/run_bench.sh [sfdir]
+# Usage: tools/run_bench.sh [sfdir] [extra program args...]
 #   env: SPARK_GRAFT_ONLY, SPARK_DRIVER_MEM, GRAFT_MAIN
+# Extra args go to the main verbatim, e.g.
+#   GRAFT_MAIN=graft.Verify tools/run_bench.sh /root/testdata/sf0.01 \
+#     /root/testdata/sf0.01 /tmp/verify_out
 set -euo pipefail
 export SPARK_GRAFT_SF_DIR="${1:-/root/testdata/sf0.1}"
+shift $(( $# > 0 ? 1 : 0 ))
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do
@@ -17,4 +21,4 @@ exec java $ADD_OPENS \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
-  "${GRAFT_MAIN:-graft.Bench}" 2>/tmp/bench_stderr.log <<<""
+  "${GRAFT_MAIN:-graft.Bench}" "$@" 2>/tmp/bench_stderr.log <<<""
