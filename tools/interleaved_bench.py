@@ -54,7 +54,7 @@ eng = subprocess.Popen(
      'graft.BenchServe'],
     stdin=subprocess.PIPE, stdout=subprocess.PIPE,
     stderr=open('/tmp/interleaved_eng_stderr.log', 'w'),
-    text=True, bufsize=1, cwd=REPO)
+    text=True, bufsize=1, cwd=REPO, env=env)
 ready = json.loads(eng.stdout.readline())
 assert ready.get('ready'), ready
 
