@@ -555,7 +555,11 @@ object AdvancedQueries {
           struct(col("o_orderkey").as("a"), col("nxt").as("b")),
           struct(col("nxt").as("a"), col("o_orderkey").as("b")))).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
-      PageRank.fixedPoint(e, iters = 5)
+      // symmetric by construction (the explode emits both directions),
+      // so fixedPoint may measure max degree off its cached edge table
+      // and run the rounds in exact long arithmetic (chain graph:
+      // degree ≤ 2, bound clears by ~5 orders; identical integers)
+      PageRank.fixedPoint(e, iters = 5, symmetric = true)
         .select(col("node"), col("v").cast("long").as("rank_fp"))
         .orderBy(col("node"))
     },

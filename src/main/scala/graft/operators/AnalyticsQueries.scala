@@ -411,13 +411,15 @@ object AnalyticsQueries {
       val li = Tables(s, dir).lineitem
         .select(col("l_returnflag"), col("l_extendedprice"),
           col("l_orderkey"), col("l_linenumber"))
-      // valuesAtRanks surfaces ONLY the ≤2 rows each percentile
-      // interpolates between (plus the group count as `n`) — one full
-      // exchange over the data instead of rowNumber's two, and no
-      // separate counting scan.
-      val hits = DistributedRank.valuesAtRanks(li,
+      // the adaptive rank selection surfaces ONLY the ≤2 rows each
+      // percentile interpolates between (plus the group count as `n`):
+      // sort-selection (one full exchange) below the measured
+      // crossover, the distinct-value-domain form (shuffle bounded by
+      // distinct prices — ~flat under replica scaling, measured
+      // 21.1 → ~7 s at 100×) above it; identical values either side.
+      val hits = DistributedRank.valuesAtRanksAdaptive(li,
         Seq("l_returnflag"),
-        Seq("l_extendedprice", "l_orderkey", "l_linenumber"),
+        "l_extendedprice", Seq("l_orderkey", "l_linenumber"),
         n => ps.flatMap { case (p, _) =>
           val hp = (n - 1) * p
           Seq(math.floor(hp).toLong + 1, math.ceil(hp).toLong + 1)
@@ -545,17 +547,26 @@ object AnalyticsQueries {
         |  CAST(quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS REAL) AS mad
         |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
         |GROUP BY l.l_returnflag, m.med ORDER BY l.l_returnflag""".stripMargin) { (s, dir) =>
-      // interpolated p50 of `v` per l_returnflag via
-      // DistributedRank.valuesAtRanks — only the ≤2 median-straddling
-      // rows per group leave the ranking pass (one full exchange, no
-      // separate counting scan; see q84's scaladoc).
-      def med50(df: org.apache.spark.sql.DataFrame, v: String, out: String) = {
-        val hits = DistributedRank.valuesAtRanks(df,
-          Seq("l_returnflag"), Seq(v, "l_orderkey", "l_linenumber"),
+      // interpolated p50 of `v` per l_returnflag via the adaptive
+      // rank selection — only the ≤2 median-straddling values per
+      // group leave the pass. Below the measured crossover that is
+      // one full sort-selection exchange; above it the value-domain
+      // form keeps BOTH cascaded medians' shuffles bounded by
+      // distinct values (prices, then absolute deviations — each
+      // replica-invariant; measured 38.1 → ~10 s at 100×). The
+      // lineitem row count from the first pass sizes the second too
+      // (the broadcast inner join on l_returnflag preserves row
+      // count: every group present in `li` has a median row), so the
+      // derived `devs` frame is never recounted — that count would
+      // recompute the join.
+      def med50(df: org.apache.spark.sql.DataFrame, v: String, out: String,
+          totalRows: Long) = {
+        val hits = DistributedRank.valuesAtRanksAdaptive(df,
+          Seq("l_returnflag"), v, Seq("l_orderkey", "l_linenumber"),
           n => {
             val hp = (n - 1) * 0.5
             Seq(math.floor(hp).toLong + 1, math.ceil(hp).toLong + 1)
-          }, "rn", outTotal = "n")
+          }, "rn", outTotal = "n", totalRows = totalRows)
         val h = (col("n") - 1).cast(DoubleType) * lit(0.5)
         val lo = min(when(col("rn") === floor(h).cast("long") + 1, col(v)))
         val hi = min(when(col("rn") === ceil(h).cast("long") + 1, col(v)))
@@ -566,12 +577,13 @@ object AnalyticsQueries {
       val li = Tables(s, dir).lineitem
         .select(col("l_returnflag"), col("l_extendedprice"),
           col("l_orderkey"), col("l_linenumber"))
-      val meds = med50(li, "l_extendedprice", "med")
+      val n0 = DistributedRank.dispatchRows(li) // stats-only at small SF
+      val meds = med50(li, "l_extendedprice", "med", n0)
       val devs = li.join(broadcast(meds), "l_returnflag")
         .withColumn("dev", abs(col("l_extendedprice") - col("med")))
         .select(col("l_returnflag"), col("dev"), col("med"),
           col("l_orderkey"), col("l_linenumber"))
-      val mads = med50(devs, "dev", "mad")
+      val mads = med50(devs, "dev", "mad", n0)
       meds.join(mads, "l_returnflag")
         .select(col("l_returnflag"),
           col("med").cast("float").as("med"),
@@ -642,33 +654,18 @@ object AnalyticsQueries {
       }
       val fact = Tables(s, dir).lineitem.select(col("l_extendedprice").as("v"))
       val n0 = fact.count() // row-group-stats count, no column pages
-      val SortSelectionMaxRows = 20000000L // measured crossover ≈ 25M
       if (n0 == 0L) Seq.empty[(Int, Long, Double, Double)].toDF("bucket", "n", "lo", "hi")
-      else if (n0 <= SortSelectionMaxRows) {
-        val hits = DistributedRank.valuesAtRanks(fact, Nil, Seq("v"), ranksOf, "rn")
+      else {
+        // both histogram paths (sort-selection small, value-domain
+        // large — this query's r8 measurements set the shared
+        // crossover) now route through the generalized dispatcher;
+        // ≤2k−1 rank-rows come back, bounded by k, not n
+        val hits = DistributedRank.valuesAtRanksAdaptive(
+            fact, Nil, "v", Nil, ranksOf, "rn", totalRows = n0)
           .select(col("rn"), col("v"))
-          .collect() // ≤ 2k−1 rank-rows — bounded by k, not n
+          .collect()
         val byRank = hits.map(h => h.getAs[Long]("rn") -> h.getAs[Double]("v")).toMap
         histFrom(n0, byRank)
-      } else {
-        // every post-groupBy action reads the distinct-value cache;
-        // the fact is scanned once (by the pre-count's stats pass and
-        // the one real scan feeding the aggregate)
-        val vc = graft.CacheScope.scoped(
-          fact.groupBy(col("v")).agg(count(lit(1)).as("cnt")))
-        val cum = DistributedRank.runningSum(vc, Nil, Seq("v"), "cnt", "cume")
-        val tdf = ranksOf(n0).toDF("t")
-        // value at rank t = the distinct value whose cumulative-count
-        // window (cume−cnt, cume] contains t — broadcast range-join,
-        // ≤2k−1 matched value-blocks
-        val hits = cum.join(broadcast(tdf),
-            col("t") > col("cume") - col("cnt") && col("t") <= col("cume"))
-          .select(col("v"), col("cume"))
-          .collect()
-          .sortBy(_.getAs[Long]("cume"))
-        def valueAt(t: Long): Double =
-          hits.find(_.getAs[Long]("cume") >= t).get.getAs[Double]("v")
-        histFrom(n0, valueAt)
       }
     },
 

@@ -219,6 +219,142 @@ object DistributedRank {
     withTotal.drop("__pid", "__lrn", "__grn", "__tot")
   }
 
+  /** Measured sort-selection/value-domain crossover for rank
+    * selection (q116's size-adaptive histogram: sort-selection 1.9 s →
+    * 15.9 s from 0.6M → 60M rows; value-domain flat 6.5 → 8.4 s over
+    * the same range — crossover ≈ 25M, threshold kept under it).
+    */
+  val SortSelectionMaxRows: Long = 20000000L
+
+  /** [[valuesAtRanks]] computed over the per-distinct-VALUE count
+    * table instead of the row-level range sort — the rank-selection
+    * shape that stays bounded at 100 TB. The output of a rank
+    * selection exposes only VALUES (the value at each target rank),
+    * and the value at rank t is the same whichever tied row a total
+    * order puts at the edge — so the tiebreak columns sort-selection
+    * carries are irrelevant to the result, and the selection can run
+    * in the value domain: one map-side-combined groupBy(group, v)
+    * (shuffle volume = distinct values per map partition, NOT rows),
+    * the distributed prefix sum over the distinct-value table
+    * ([[runningSum]]), and the value at rank t = the value whose
+    * cumulative-count window (cume−cnt, cume] contains t — a
+    * broadcast range-join against the tiny target list. Under replica
+    * scaling the distinct-value table is INVARIANT while the row
+    * count grows 100×, so this path's cost is ~flat where
+    * sort-selection's full-data range exchange grows linearly
+    * (measured: see [[SortSelectionMaxRows]]).
+    *
+    * Output: one row per surviving (group, target) with ONLY
+    * (groupCols…, valueCol, `out` = rank[, `outTotal` = group row
+    * count]) — the interpolation consumers' contract. NULL values
+    * form their own (first) rank block and NULL group keys their own
+    * group, exactly like the sort-selection path.
+    */
+  def valuesAtRanksByValue(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      ranksOf: Long => Seq[Long],
+      out: String = "rn",
+      outTotal: String = "",
+      maxDriverRows: Int = DefaultMaxDriverRows): DataFrame = {
+    val spark = df.sparkSession
+    val vc = graft.CacheScope.scoped(
+      df.groupBy((groupCols :+ valueCol).map(col): _*)
+        .agg(count(lit(1)).as("__cnt")))
+    val totsDf = vc.groupBy(groupCols.map(col): _*).agg(sum(col("__cnt")).as("__tot"))
+    val tots = collectBounded(totsDf, maxDriverRows, "valuesAtRanksByValue")
+    val targetRows = tots.toSeq.flatMap { r =>
+      val total = r.getAs[Long]("__tot")
+      ranksOf(total).filter(k => k >= 1 && k <= total).distinct.sorted
+        .map(k => Row.fromSeq(r.toSeq.dropRight(1) ++ Seq(k, total)))
+    }
+    val targetSchema = StructType(
+      totsDf.schema.fields.dropRight(1) ++ Seq(
+        StructField("__t", LongType, nullable = false),
+        StructField("__tt", LongType, nullable = false)))
+    val targets = spark.createDataFrame(
+      java.util.Arrays.asList(targetRows: _*), targetSchema)
+    val cum = runningSum(vc, groupCols, Seq(valueCol), "__cnt", "__cume")
+    // null-safe group keys + the rank-window range condition; the
+    // target list is groups × ranks — always broadcast-sized
+    val renamed = groupCols.foldLeft(targets)((d, k) => d.withColumnRenamed(k, "__r_" + k))
+    val rangeCond = col("__t") > col("__cume") - col("__cnt") &&
+      col("__t") <= col("__cume")
+    val cond = groupCols.map(k => cum(k) <=> renamed("__r_" + k))
+      .foldLeft(rangeCond)(_ && _)
+    val hits = cum.join(broadcast(renamed), cond).withColumn(out, col("__t"))
+    val withTotal =
+      if (outTotal.nonEmpty) hits.withColumn(outTotal, col("__tt")) else hits
+    val outCols = (groupCols :+ valueCol :+ out) ++
+      (if (outTotal.nonEmpty) Seq(outTotal) else Nil)
+    withTotal.select(outCols.map(col): _*)
+  }
+
+  /** Plan-size ceiling under which dispatch skips the count job
+    * entirely: 64 MB of parquet cannot plausibly hold more than
+    * [[SortSelectionMaxRows]] rows of any real fact (that would be
+    * ~3 bytes/row compressed), so a scan whose optimized-plan
+    * `sizeInBytes` sits below it is sort-selection-sized without
+    * counting. A misjudgment costs performance only — both selection
+    * paths return identical values — so the cheap bound is safe.
+    */
+  val SmallStatsBytes: Long = 64L << 20
+
+  /** Row count FOR PATH DISPATCH over `df`: 0 when the optimized
+    * plan's size statistics already prove the input sort-selection-
+    * sized (no job at all — the common small-SF case), the exact
+    * count otherwise (one metadata-cheap job on a scan; at that size
+    * its cost is noise against either selection path). Callers with
+    * several same-cardinality inputs (q95's cascaded medians: the
+    * deviations frame is a row-preserving broadcast join off the
+    * base) resolve once and pass the result to each
+    * [[valuesAtRanksAdaptive]] call — counting the derived frame
+    * would recompute its join.
+    */
+  def dispatchRows(df: DataFrame): Long = {
+    val statsBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (statsBytes <= SmallStatsBytes) 0L else df.count()
+  }
+
+  /** Size-adaptive rank selection: [[valuesAtRanks]] (row-level
+    * range sort, wins while the data fits a few balanced sort
+    * partitions) below [[SortSelectionMaxRows]], [[valuesAtRanksByValue]]
+    * (distinct-value domain, ~flat under replica scaling) above it —
+    * the q116 hybrid generalized to every quantile/median consumer.
+    * Both paths select the SAME values (rank→value is tiebreak-
+    * invariant), so the output is byte-identical either side of the
+    * threshold; `tieCols` only make the sort path's internal rank
+    * deterministic. `totalRows` defaults to [[dispatchRows]] (stats
+    * first, count only when ambiguous); pass it when the caller
+    * already resolved the cardinality.
+    *
+    * Output schema is the uniform (groupCols…, valueCol, out
+    * [, outTotal]) of the by-value path on BOTH sides.
+    */
+  def valuesAtRanksAdaptive(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      tieCols: Seq[String],
+      ranksOf: Long => Seq[Long],
+      out: String = "rn",
+      outTotal: String = "",
+      totalRows: Long = -1L,
+      thresholdRows: Long = SortSelectionMaxRows,
+      maxDriverRows: Int = DefaultMaxDriverRows): DataFrame = {
+    val n0 = if (totalRows >= 0L) totalRows else dispatchRows(df)
+    if (n0 <= thresholdRows) {
+      val outCols = (groupCols :+ valueCol :+ out) ++
+        (if (outTotal.nonEmpty) Seq(outTotal) else Nil)
+      valuesAtRanks(df, groupCols, valueCol +: tieCols, ranksOf, out,
+        outTotal = outTotal, maxDriverRows = maxDriverRows)
+        .select(outCols.map(col): _*)
+    } else
+      valuesAtRanksByValue(df, groupCols, valueCol, ranksOf, out,
+        outTotal, maxDriverRows)
+  }
+
   /** Distributed exact prefix sum — `SUM(v) OVER (PARTITION BY g
     * ORDER BY ... ROWS UNBOUNDED PRECEDING)` without the single-task-
     * per-group window sort, by the same construction as [[rowNumber]]:

@@ -164,15 +164,18 @@ object ExtendedQueries {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       // the oracle's rn-filter solves to: even n → ranks {n/2, n/2+1},
-      // odd n → {(n+1)/2}; valuesAtRanks surfaces exactly those rows
-      // with one balanced exchange (no per-group single-task window —
-      // the 3-group PARTITION BY would otherwise sort 1/3 of the
-      // table per task; see DistributedRank's scaladoc).
+      // odd n → {(n+1)/2}; the adaptive rank selection surfaces
+      // exactly those values — sort-selection (one balanced exchange,
+      // no per-group single-task window) while the table fits the
+      // measured crossover, the distinct-value-domain form (shuffle
+      // bounded by distinct prices, ~flat under replica scaling)
+      // above it; identical values either side (see
+      // DistributedRank.valuesAtRanksAdaptive).
       val li = Tables(s, dir).lineitem
         .select(col("l_returnflag"), col("l_extendedprice"),
           col("l_orderkey"), col("l_linenumber"))
-      DistributedRank.valuesAtRanks(li, Seq("l_returnflag"),
-        Seq("l_extendedprice", "l_orderkey", "l_linenumber"),
+      DistributedRank.valuesAtRanksAdaptive(li, Seq("l_returnflag"),
+        "l_extendedprice", Seq("l_orderkey", "l_linenumber"),
         n => if (n % 2 == 0) Seq(n / 2, n / 2 + 1) else Seq((n + 1) / 2), "rn")
         .groupBy(col("l_returnflag"))
         .agg((dbl(sum(dec2(col("l_extendedprice")))) / count(lit(1))).as("median_price"))

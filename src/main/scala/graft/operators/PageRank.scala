@@ -37,7 +37,41 @@ object PageRank {
 
   val Unit0: Long = 1000000000000L // fixed-point scale: rank 1.0
 
-  def fixedPoint(edges: DataFrame, iters: Int, checkpointEvery: Int = 10): DataFrame = {
+  /** Can `iters` rounds run entirely in LONG arithmetic for a graph
+    * whose max IN-degree is `maxInDeg`? Per-round worst case: a node's
+    * incoming sum S ≤ maxInDeg · bound (each in-neighbor contributes
+    * ≤ its own rank), and the damping numerator 15·Unit0 + 85·S is
+    * the largest intermediate. The bound recursion mirrors the round
+    * arithmetic exactly; 2× headroom against Long.MaxValue on every
+    * round's intermediate. Long and decimal rounds produce IDENTICAL
+    * integers (both are exact floor division over exact sums) — the
+    * width is a cost choice, never a semantics choice
+    * ([[graft.operators.PageRankSpec]] pins the equality).
+    */
+  private[operators] def longSafe(maxInDeg: Long, iters: Int): Boolean = {
+    var bound = BigInt(Unit0)
+    var ok = true
+    for (_ <- 1 to iters) {
+      val t = BigInt(15) * Unit0 + BigInt(85) * maxInDeg * bound
+      if (t > Long.MaxValue / 2) ok = false
+      bound = t / 100 + 1
+    }
+    ok
+  }
+
+  /** `symmetric = true` asserts the caller built a symmetric edge
+    * list (every (a,b) has its (b,a)); then in-degree == the
+    * out-degree the cached edge table already carries, and the
+    * measured max degree decides the numeric width of the rounds via
+    * [[longSafe]] — codegen'd long arithmetic (half the per-round
+    * shuffle bytes, no per-row BigDecimal) when the bound holds,
+    * the DECIMAL(38,0) fallback when it doesn't (hub graphs) or when
+    * the caller can't vouch for symmetry (directed graphs would need
+    * a separate in-degree pass to bound safely; decimal is always
+    * safe). `forceDecimal` pins the fallback for the equality spec.
+    */
+  def fixedPoint(edges: DataFrame, iters: Int, checkpointEvery: Int = 10,
+      symmetric: Boolean = false, forceDecimal: Boolean = false): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     // ONE persisted edge table carrying its out-degree alongside each
     // edge: the degree rides the same hash layout as the edges (an
@@ -66,20 +100,41 @@ object PageRank {
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
       val e = graft.CacheScope.scoped(
         sel.repartition(col("a")).withColumn("d", count(lit(1)).over(w)))
+      // Numeric width for the rounds: measure max degree off the
+      // cached edge table (materializes the cache one job early —
+      // the loop job then reads it back; same total work) and take
+      // the long path iff the closed-form bound clears. The decimal
+      // fallback is the always-safe width.
+      val useLong = symmetric && !forceDecimal && {
+        val m = e.agg(max(col("d"))).head().getAs[Any](0)
+        longSafe(if (m == null) 0L else m.asInstanceOf[Long], iters)
+      }
       // init: every node with out-edges starts at rank 1.0; distinct
       // over the cached layout needs no exchange (already hash-split on a)
-      var v = e.select(col("a").as("node")).distinct()
-        .select(col("node"), lit(Unit0).cast(dec).as("v"))
+      val init0 = e.select(col("a").as("node")).distinct()
+      var v =
+        if (useLong) init0.select(col("node"), lit(Unit0).as("v"))
+        else init0.select(col("node"), lit(Unit0).cast(dec).as("v"))
       var prevCp: DataFrame = null
       for (k <- 1 to iters) {
-        v = v.join(e, col("node") === col("a"))
-          .groupBy(col("b"))
-          // floor over the exact rational = integer division for the
-          // non-negative operands here; both engines agree exactly
-          .agg(sum(floor(col("v") / col("d")).cast(dec)).as("s"))
-          .select(col("b").as("node"),
-            floor((lit(15 * Unit0).cast(dec) + lit(85).cast(dec) * col("s")) / 100)
-              .cast(dec).as("v"))
+        val joined = v.join(e, col("node") === col("a"))
+        v =
+          if (useLong)
+            // `div` (IntegralDivide), NOT floor(v/d): long `/` is
+            // double division in Spark SQL and a 2^44-scale quotient
+            // can round across the floor; div is the exact integer op
+            joined.groupBy(col("b"))
+              .agg(sum(expr("v div d")).as("s"))
+              .select(col("b").as("node"),
+                expr(s"(${15 * Unit0} + 85 * s) div 100").as("v"))
+          else
+            joined.groupBy(col("b"))
+              // floor over the exact rational = integer division for the
+              // non-negative operands here; both engines agree exactly
+              .agg(sum(floor(col("v") / col("d")).cast(dec)).as("s"))
+              .select(col("b").as("node"),
+                floor((lit(15 * Unit0).cast(dec) + lit(85).cast(dec) * col("s")) / 100)
+                  .cast(dec).as("v"))
         // deep iteration counts: truncate lineage so round N's plan
         // does not embed rounds 1..N-1 (the q69 components discipline)
         if (k % checkpointEvery == 0 && k < iters) {

@@ -229,6 +229,61 @@ class DistributedRankSpec extends AnyFunSuite {
     graft.CacheScope.drain() // release the scoped frames the aborted builds registered
   }
 
+  test("valuesAtRanksByValue selects the same values as sort-selection on ties, nulls, and null groups") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      // heavy ties (value domain ~12 distinct), a null-valued block,
+      // and a NULL group key — every edge both paths must agree on
+      val rows = Seq.tabulate(500 + rng.nextInt(300)) { i =>
+        val g: java.lang.Long =
+          if (i % 11 == 0) null else if (rng.nextInt(5) > 0) 0L else rng.nextInt(3).toLong + 1
+        val v: java.lang.Long = if (rng.nextInt(9) == 0) null else rng.nextInt(12).toLong
+        (g, v, i.toLong)
+      }
+      val df = rows.toDF("g", "v", "id")
+      def ranks(n: Long): Seq[Long] = {
+        val h = (n - 1) * 0.5
+        Seq(1L, math.floor(h).toLong + 1, math.ceil(h).toLong + 1, n, n + 5)
+      }
+      val bySort = DistributedRank.valuesAtRanks(df, Seq("g"), Seq("v", "id"),
+          ranks, "rn", numPartitions = 3 + trial, outTotal = "n")
+        .select(col("g"), col("v"), col("rn"), col("n"))
+      val byValue = DistributedRank.valuesAtRanksByValue(df, Seq("g"), "v",
+        ranks, "rn", outTotal = "n")
+      assert(bySort.exceptAll(byValue).count() == 0 &&
+        byValue.exceptAll(bySort).count() == 0, s"trial $trial grouped mismatch")
+      // exactly one row per surviving (group, target)
+      assert(byValue.count() == bySort.count(), s"trial $trial cardinality")
+      // groupless
+      val bySortG = DistributedRank.valuesAtRanks(df, Nil, Seq("v", "id"),
+          ranks, "rn", numPartitions = 4, outTotal = "n")
+        .select(col("v"), col("rn"), col("n"))
+      val byValueG = DistributedRank.valuesAtRanksByValue(df, Nil, "v",
+        ranks, "rn", outTotal = "n")
+      assert(bySortG.exceptAll(byValueG).count() == 0 &&
+        byValueG.exceptAll(bySortG).count() == 0, s"trial $trial groupless mismatch")
+    }
+    graft.CacheScope.drain()
+  }
+
+  test("valuesAtRanksAdaptive picks identical values either side of the threshold") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i % 5, i % 23, i)).toDF("g", "v", "id")
+    def ranks(n: Long): Seq[Long] = Seq(1L, (n + 1) / 2, n)
+    // totalRows passed explicitly: auto mode's stats shortcut would
+    // (correctly) route any test-sized frame to the sort path
+    val small = DistributedRank.valuesAtRanksAdaptive(df, Seq("g"), "v", Seq("id"),
+      ranks, "rn", outTotal = "n", totalRows = 400L, thresholdRows = 1000000L)
+    val large = DistributedRank.valuesAtRanksAdaptive(df, Seq("g"), "v", Seq("id"),
+      ranks, "rn", outTotal = "n", totalRows = 400L, thresholdRows = 10L)
+    // both sides share the uniform (g, v, rn, n) schema and the rows agree
+    assert(small.columns.toSeq == Seq("g", "v", "rn", "n"))
+    assert(large.columns.toSeq == Seq("g", "v", "rn", "n"))
+    assert(small.exceptAll(large).count() == 0 && large.exceptAll(small).count() == 0)
+    graft.CacheScope.drain()
+  }
+
   test("valuesAtRanks handles the groupless global-quantile shape") {
     import spark.implicits._
     val df = (1L to 101L).map(i => (i % 13, i)).toDF("v", "id")

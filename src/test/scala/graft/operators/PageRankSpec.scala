@@ -23,6 +23,39 @@ class PageRankSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getDecimal(1).longValueExact()).toMap
     finally graft.CacheScope.drain() // fixedPoint scopes its edge/degree caches
 
+  /** Width-tolerant reader: the long fast path emits LongType where
+    * the decimal fallback emits DECIMAL(38,0) — same integers.
+    */
+  private def ranksAny(df: DataFrame): Map[Long, Long] =
+    try df.collect().map(r => r.getLong(0) -> (r.get(1) match {
+      case d: java.math.BigDecimal => d.longValueExact()
+      case l: java.lang.Long => l.longValue()
+    })).toMap
+    finally graft.CacheScope.drain()
+
+  test("long-width rounds equal the decimal rounds bit-for-bit") {
+    val g = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (2L, 4L), (5L, 6L))
+    val fast = PageRank.fixedPoint(g, 7, symmetric = true)
+    assert(fast.schema("v").dataType == org.apache.spark.sql.types.LongType,
+      "low-degree symmetric graph must take the long path")
+    val fastR = ranksAny(fast)
+    val slowR = ranksAny(PageRank.fixedPoint(g, 7, symmetric = true, forceDecimal = true))
+    assert(fastR == slowR)
+    // hand-checked round-1 values still hold through the long path
+    val one = ranksAny(PageRank.fixedPoint(sym((1L, 2L), (2L, 3L)), 1, symmetric = true))
+    assert(one == Map(1L -> 575000000000L, 2L -> 1850000000000L, 3L -> 575000000000L))
+  }
+
+  test("longSafe bound: low degrees clear, hub degrees and deep iteration fall back") {
+    assert(PageRank.longSafe(2, 5)) // the q101 shape, orders of headroom
+    assert(PageRank.longSafe(2, 10))
+    assert(PageRank.longSafe(0, 3)) // empty graph degenerates safely
+    assert(!PageRank.longSafe(200000, 5)) // the documented hub overflow
+    // the worst-case recursion is deliberately loose (grows ~1.7^k for
+    // degree 2) — depth eventually forces the always-safe decimal width
+    assert(!PageRank.longSafe(2, 50))
+  }
+
   test("one round on the symmetric 3-path matches hand arithmetic") {
     // deg: 1→1, 2→2, 3→1; contribs: 1 and 3 send 1.0, 2 sends 0.5 each way
     // v(1) = v(3) = (15e12 + 85·0.5e12) div 100 = 0.575 units
