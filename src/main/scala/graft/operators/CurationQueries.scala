@@ -155,11 +155,17 @@ object CurationQueries {
         col("text"), lit(" contact user"), col("doc_id").cast(StringType),
         lit("@mail.example.com call 555-0"), (col("doc_id") % 100).cast(StringType),
         lit(" ip 10.0."), (col("doc_id") % 256).cast(StringType), lit(".7"))
+      // fused kernel: one expression does all three redaction passes
+      // plus the original-text counts — byte-identical to
+      // redactPii(t)/piiCount(t) (PiiStatsSpec pins it) with one
+      // UTF8String→String conversion instead of six; the composed
+      // form measured 24.0 s isolated at 100×
       Tables(s, dir).documents
         .select(col("doc_id"), injected.as("t"))
+        .select(col("doc_id"), graft.functions.PiiStats(col("t")).as("p"))
         .select(col("doc_id"),
-          redactPii(col("t")).as("redacted"),
-          piiCount(col("t")).as("n_pii"))
+          col("p.redacted").as("redacted"),
+          col("p.n_pii").as("n_pii"))
         .orderBy(col("doc_id"))
     },
 
