@@ -321,17 +321,33 @@ object AnalyticsQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest
         |FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      Tables(s, dir).orders.select(
-        col("o_orderkey"),
-        percent_rank().over(w).as("pr"),
-        cume_dist().over(w).as("cd"),
-        nth_value(col("o_totalprice"), 3).over(wCum).as("third_lowest"),
-        first_value(col("o_totalprice")).over(w).as("cheapest"),
-        last_value(col("o_totalprice")).over(wFull).as("priciest"))
+      // A literal 5-priority PARTITION BY sorts ~n/5 rows per single
+      // task (the q46/q84 cliff — DistributedRank's scaladoc carries
+      // the 10× measurements). Under the total order (price, orderkey)
+      // every distribution/navigation function is a closed form of
+      // the distributed row number: no peers, so cume_dist = rn/n and
+      // percent_rank = (rn−1)/(n−1) — the same integer operands Spark's
+      // window operator divides, hence bit-identical doubles —
+      // and nth/first/last_value are per-group rank lookups that ride
+      // ONE tiny aggregate over the ranked cache (5-row broadcast).
+      val o = Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val ranked = DistributedRank.rowNumber(o, Seq("o_orderpriority"),
+        Seq("o_totalprice", "o_orderkey"), "rn")
+      val stats = ranked.groupBy(col("o_orderpriority")).agg(
+        count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("cheapest"),
+        max(col("o_totalprice")).as("priciest"),
+        min(when(col("rn") === 3, col("o_totalprice"))).as("third"))
+      ranked.join(broadcast(stats), "o_orderpriority")
+        .select(
+          col("o_orderkey"),
+          when(col("n") === 1, lit(0.0)).otherwise(
+            (col("rn") - 1).cast(DoubleType) / (col("n") - 1).cast(DoubleType)).as("pr"),
+          (col("rn").cast(DoubleType) / col("n").cast(DoubleType)).as("cd"),
+          when(col("rn") >= 3, col("third")).as("third_lowest"),
+          col("cheapest"),
+          col("priciest"))
         .orderBy(col("o_orderkey"))
     },
 

@@ -869,13 +869,16 @@ object TextQueries {
       val n = tok.agg(count(lit(1)).cast(DoubleType).as("n_tok"))
       val lp = vocab.crossJoin(broadcast(n))
         .select(col("token"), log(col("c") / col("n_tok")).as("logp"))
+      // position-ordered fold via the fused kernel (one primitive
+      // pass; the composable sort_array + aggregate chain pays an
+      // interpreted comparator + lambda frame per element) — same
+      // left-to-right double adds, so the float32 result is identical
       tok.join(broadcast(lp), "token")
         .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("logp")))).as("lps"))
+        .agg(collect_list(struct(col("pos"), col("logp"))).as("lps"))
         .select(col("doc_id"),
           size(col("lps")).as("n_tokens"),
-          (aggregate(col("lps"), lit(0.0),
-            (acc, x) => acc + x.getField("logp")) / size(col("lps")))
+          (graft.functions.PosOrderedSum(col("lps")) / size(col("lps")))
             .cast(FloatType).as("avg_logprob"))
         .orderBy(col("doc_id"))
     },
@@ -1070,13 +1073,14 @@ object TextQueries {
       val lp = c2.join(broadcast(c1), "prev").crossJoin(broadcast(v))
         .select(col("prev"), col("w"),
           log((col("c2") + lit(1.0)) / (col("c1") + col("vsz"))).as("logp"))
+      // position-ordered fold via the fused kernel (see q86): same
+      // left-to-right double adds, one primitive pass per document
       p.join(broadcast(lp), Seq("prev", "w"))
         .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("logp")))).as("lps"))
+        .agg(collect_list(struct(col("pos"), col("logp"))).as("lps"))
         .select(col("doc_id"),
           size(col("lps")).as("n_bigrams"),
-          (aggregate(col("lps"), lit(0.0),
-            (acc, x) => acc + x.getField("logp")) / size(col("lps")))
+          (graft.functions.PosOrderedSum(col("lps")) / size(col("lps")))
             .cast(FloatType).as("avg_logprob"))
         .orderBy(col("doc_id"))
     },
