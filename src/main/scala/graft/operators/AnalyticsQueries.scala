@@ -818,16 +818,25 @@ object AnalyticsQueries {
 
     // ------------------------------------------------------------------
     // q128 — CO-PURCHASE LIFT (market basket): part pairs appearing in
-    // the same order, scored by lift = P(a,b) / (P(a)·P(b)). The pair
-    // explosion is a self-join of the deduped (order, part) table ON
-    // THE ORDER KEY — co-partitioned, and bounded by per-order basket
-    // size (≈4–7 lines at any TPC-H scale), so pair volume stays a
-    // small constant × |lineitem| at 100 TB; the item-count sides are
-    // item-domain-sized — that domain GROWS with SF, so they join
-    // hint-free (AQE broadcasts them while they fit, shuffles when
-    // the catalog outgrows an executor). Lift is one double
-    // division of exact longs (correctly rounded, engine-identical);
-    // ranking tiebreaks on the pair itself.
+    // the same order, scored by lift = P(a,b) / (P(a)·P(b)). Pair
+    // generation goes through ONE shuffle of the fact — group lineitem
+    // by order, collect the basket as a set (dedup rides the same
+    // exchange that a DISTINCT would need), and explode the ordered
+    // pairs map-side. The r7–r10 form self-joined the deduped
+    // (order, part) table on the order key: semantically identical,
+    // but it shuffled the 2-column fact THREE times (the DISTINCT plus
+    // both join legs — differing column orders defeat exchange reuse
+    // even off the cache) and fed k² joined rows per basket into the
+    // pair aggregate where the explode emits k(k−1)/2. Basket size is
+    // bounded (≈4–7 lines per order at any TPC-H scale), so the
+    // collected set and the k² explode stay O(1) per order at 100 TB —
+    // and a pathological mega-basket would hurt the self-join form
+    // identically (same pair count, via a skewed join key instead).
+    // The item-count side is item-domain-sized — that domain GROWS
+    // with SF, so it joins hint-free (AQE broadcasts it while it fits,
+    // shuffles when the catalog outgrows an executor). Lift is one
+    // double division of exact longs (correctly rounded,
+    // engine-identical); ranking tiebreaks on the pair itself.
     QueryDef.sql(
       "q128_copurchase_lift",
       """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -844,16 +853,20 @@ object AnalyticsQueries {
         |CROSS JOIN n
         |WHERE cab >= 2
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin) { (s, dir) =>
-      // the basket table feeds FOUR consumers (n, ic, both self-join
-      // legs) whose differing pushed filters defeat exchange reuse —
-      // without the persist the plan runs 4 full scans + 4 dedup
-      // shuffles of lineitem (read in the r7 plan audit)
-      val b = graft.CacheScope.scoped(Tables(s, dir).lineitem
-        .select(col("l_orderkey"), col("l_partkey")).distinct())
-      val n = b.agg(countDistinct(col("l_orderkey")).as("n_orders"))
-      val ic = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
-      val pr = b.select(col("l_orderkey"), col("l_partkey").as("pa"))
-        .join(b.select(col("l_orderkey"), col("l_partkey").as("pb")), "l_orderkey")
+      // the basket table feeds THREE consumers (n, ic, pairs) — the
+      // persist keeps the one grouped shuffle's result instead of
+      // re-scanning lineitem per consumer (r7 plan-audit lesson,
+      // re-audited for this form: one Exchange total upstream of it)
+      val baskets = graft.CacheScope.scoped(Tables(s, dir).lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("parts")))
+      val n = baskets.agg(count(lit(1)).as("n_orders"))
+      val ic = baskets
+        .select(explode(col("parts")).as("l_partkey"))
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      val pr = baskets
+        .select(explode(col("parts")).as("pa"), col("parts"))
+        .select(col("pa"), explode(col("parts")).as("pb"))
         .filter(col("pa") < col("pb"))
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cab"))
         .filter(col("cab") >= 2)
