@@ -496,35 +496,39 @@ object TextQueries {
          |  CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 1
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      // persisted with bucket size/hub attached: the pair join's two
-      // sides and the star branch's two sides are four cache reads —
-      // without the persist each branch re-runs the 32-column
-      // sign-sum aggregation AND its own bands⋈sizes join
+      // bucket size + hub + the hub's signature as ONE window pass
+      // over (band, bv) — the q27 fold applied to the simhash tier.
+      // The prior form aggregated bucket sizes separately and joined
+      // them back (which forced a second persist just to fill the
+      // join's two reads), and the star branch self-joined the
+      // over-cap rows to fetch the hub's signature; min_by over the
+      // same window carries it on every row instead, so the star
+      // branch is a pure filter+project. The single persist keeps the
+      // sign-sum aggregation at one run for the pair join's two sides
+      // plus the star branch, and leaves `sized` hash-partitioned on
+      // exactly the pair join's key.
       val half = lit(0xFFFFL)
-      // bandRows itself is also persisted: filling `sized` reads it
-      // twice (join left + sizes agg), and each uncached read is a
-      // full sign-sum aggregation
-      val bandRows = CacheScope.scoped(
+      val bandRows =
         simhashSig(s, dir, 32).select(col("doc_id"), col("simhash"),
           posexplode(array(
             shiftright(col("simhash"), 16).bitwiseAND(half),
-            col("simhash").bitwiseAND(half))).as(Seq("band", "bv"))))
-      val sizes = bandRows.groupBy(col("band"), col("bv"))
-        .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("hub"))
-      val sized = CacheScope.scoped(bandRows.join(sizes, Seq("band", "bv")))
+            col("simhash").bitwiseAND(half))).as(Seq("band", "bv")))
+      val wb = Window.partitionBy(col("band"), col("bv"))
+      val sized = CacheScope.scoped(bandRows
+        .withColumn("bn", count(lit(1)).over(wb))
+        .withColumn("hub", min(col("doc_id")).over(wb))
+        .withColumn("hubsim", min_by(col("simhash"), col("doc_id")).over(wb)))
       val small = sized.filter(col("bn") <= SimhashBucketCap)
       val allPairs = small
         .select(col("band"), col("bv"), col("doc_id").as("doc_a"), col("simhash").as("sa"))
         .join(small.select(col("band"), col("bv"), col("doc_id").as("doc_b"), col("simhash").as("sb")),
           Seq("band", "bv"))
         .filter(col("doc_a") < col("doc_b"))
-      val big = sized.filter(col("bn") > SimhashBucketCap)
       // hub = the bucket's min doc_id, so the hub side is always doc_a
-      val starPairs = big.filter(col("doc_id") === col("hub"))
-        .select(col("band"), col("bv"), col("doc_id").as("doc_a"), col("simhash").as("sa"))
-        .join(big.filter(col("doc_id") =!= col("hub"))
-          .select(col("band"), col("bv"), col("doc_id").as("doc_b"), col("simhash").as("sb")),
-          Seq("band", "bv"))
+      val starPairs = sized
+        .filter(col("bn") > SimhashBucketCap && col("doc_id") =!= col("hub"))
+        .select(col("hub").as("doc_a"), col("hubsim").as("sa"),
+          col("doc_id").as("doc_b"), col("simhash").as("sb"))
       allPairs.select("doc_a", "doc_b", "sa", "sb")
         .unionAll(starPairs.select("doc_a", "doc_b", "sa", "sb"))
         .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
