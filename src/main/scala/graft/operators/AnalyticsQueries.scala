@@ -84,7 +84,7 @@ object AnalyticsQueries {
       val k = 4
       val o = Tables(s, dir).orders.select(col("o_orderkey"), col("o_totalprice"))
       val nRow = o.agg(count(lit(1)).as("n"))
-      val ranked = DistributedRank.rowNumber(o,
+      val ranked = DistributedRank.rowNumberAdaptive(o,
         groupCols = Seq.empty, orderCols = Seq("o_totalprice", "o_orderkey"), "rn")
         .crossJoin(broadcast(nRow))
       // SQL ntile: q = n/k, r = n%k; first r buckets have q+1 rows
@@ -332,7 +332,7 @@ object AnalyticsQueries {
       // ONE tiny aggregate over the ranked cache (5-row broadcast).
       val o = Tables(s, dir).orders
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-      val ranked = DistributedRank.rowNumber(o, Seq("o_orderpriority"),
+      val ranked = DistributedRank.rowNumberAdaptive(o, Seq("o_orderpriority"),
         Seq("o_totalprice", "o_orderkey"), "rn")
       val stats = ranked.groupBy(col("o_orderpriority")).agg(
         count(lit(1)).as("n"),

@@ -130,6 +130,55 @@ object DistributedRank {
       .drop("__pid", "__off")
   }
 
+  /** Measured window/distributed crossover for FULL ranking (every
+    * row keeps its rank, unlike the ≤2-rows-per-group selection
+    * shapes whose crossover is [[SortSelectionMaxRows]]):
+    * `graft.tools.RankKernelScale` global row_number sweep on this
+    * box — 1M: window 1.1 s vs kernel 1.9 s; 2M: 2.3 vs 2.0; 5M:
+    * 7.5 vs 3.3; 10M: 11.2 vs 6.8 (grouped/3-task crosses later,
+    * ~5–7M, so the GLOBAL crossover is the binding one). Set AT the
+    * measured tie: a misjudgment costs only performance (both paths
+    * emit identical ranks), and the window side's cliff (ONE task
+    * sorts everything) is the expensive direction to err toward.
+    */
+  val WindowRankMaxRows: Long = 2000000L
+
+  /** Size-adaptive full ranking: the plain window `row_number()`
+    * below [[WindowRankMaxRows]] (one sort, no offset machinery —
+    * at small inputs [[rowNumber]]'s two exchanges plus driver
+    * offset join cost ~2× the degenerate sort they avoid), the
+    * distributed kernel above it. Both sides emit the IDENTICAL
+    * LongType rank under the caller's total order, so consumers are
+    * byte-identical either side of the threshold — the
+    * [[valuesAtRanksAdaptive]] dispatch applied to the ranking
+    * shapes that keep every row (q46's global ntile, q59's window
+    * family, q115's z-order buckets). `totalRows` defaults to
+    * [[dispatchRows]] (plan statistics first, one count job only
+    * when the input is past the stats ceiling).
+    */
+  def rowNumberAdaptive(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      out: String = "rn",
+      totalRows: Long = -1L,
+      thresholdRows: Long = WindowRankMaxRows,
+      maxDriverRows: Int = DefaultMaxDriverRows): DataFrame = {
+    val n0 = if (totalRows >= 0L) totalRows else dispatchRows(df)
+    if (n0 <= thresholdRows) {
+      val w = Window
+        .partitionBy(groupCols.map(col): _*)
+        .orderBy(orderCols.map(col): _*)
+      // scoped like the distributed branch's internal persist: multi-
+      // consumer callers (q59 derives stats from the ranks AND joins
+      // them back) must not re-scan the source per consumer, and the
+      // threshold bounds the cached frame at ≤ thresholdRows rows
+      graft.CacheScope.scoped(
+        df.withColumn(out, row_number().over(w).cast(LongType)))
+    } else
+      rowNumber(df, groupCols, orderCols, out, maxDriverRows = maxDriverRows)
+  }
+
   /** Rows at driver-computed TARGET ranks only — the percentile/median
     * shape. [[rowNumber]] ranks every row, which costs a second full
     * exchange (the window's clustering); but a quantile touches ≤2

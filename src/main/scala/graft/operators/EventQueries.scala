@@ -196,7 +196,7 @@ object EventQueries {
         datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).cast(LongType).as("y"))
       val z = e.select(col("event_id"), col("x"), col("y"),
         graft.functions.ZOrder64(col("x"), col("y")).as("zv"))
-      DistributedRank.rowNumber(z, Nil, Seq("zv", "event_id"))
+      DistributedRank.rowNumberAdaptive(z, Nil, Seq("zv", "event_id"))
         .groupBy(expr("(rn - 1) div 4096").as("bucket"))
         .agg(count(lit(1)).as("n"),
           min(col("x")).as("min_x"), max(col("x")).as("max_x"),

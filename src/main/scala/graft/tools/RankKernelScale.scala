@@ -77,6 +77,19 @@ object RankKernelScale {
       DistributedRank.valuesAtRanks(df, Seq("g"), Seq("ord", "id2"),
         m => Seq(m / 2, (m + 1) / 2).distinct).count()
     }
+    // the q46/q115 shape: a single GLOBAL total order (the worst
+    // window case — ONE task sorts everything). This pair sizes
+    // [[DistributedRank.WindowRankMaxRows]]: sweep n to find where
+    // the lines cross.
+    time("rowNumber/window-global") {
+      val w = Window.orderBy(col("ord"), col("id2"))
+      df.withColumn("rn", row_number().over(w))
+        .agg(max(col("rn")).cast("long")).as[Long].head()
+    }
+    time("rowNumber/dist-global") {
+      DistributedRank.rowNumber(df, Nil, Seq("ord", "id2"))
+        .agg(max(col("rn"))).as[Long].head()
+    }
     spark.stop()
   }
 }

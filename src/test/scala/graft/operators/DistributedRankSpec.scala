@@ -49,6 +49,31 @@ class DistributedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("rowNumberAdaptive is identical either side of the threshold") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val rows = Seq.tabulate(700) { i =>
+      val g = if (rng.nextInt(4) > 0) "hot" else s"g${rng.nextInt(3)}"
+      (g, rng.nextInt(15).toLong, i.toLong)
+    }
+    val df = rows.toDF("g", "v", "id")
+    for (groups <- Seq(Seq("g"), Seq.empty[String])) {
+      // thresholdRows = 0 forces the distributed kernel, Long.MaxValue
+      // the window path; totalRows pinned so dispatch never counts
+      val viaWindow = DistributedRank.rowNumberAdaptive(
+        df, groups, Seq("v", "id"), "rn",
+        totalRows = rows.size.toLong, thresholdRows = Long.MaxValue)
+      val viaKernel = DistributedRank.rowNumberAdaptive(
+        df, groups, Seq("v", "id"), "rn",
+        totalRows = rows.size.toLong, thresholdRows = 0L)
+      assert(viaWindow.schema == viaKernel.schema,
+        s"schema drift across the threshold for groups=$groups")
+      assert(viaWindow.exceptAll(viaKernel).count() == 0 &&
+        viaKernel.exceptAll(viaWindow).count() == 0,
+        s"rank drift across the threshold for groups=$groups")
+    }
+  }
+
   test("valuesAtRanks returns exactly the window-ranked rows at each target") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
