@@ -725,7 +725,7 @@ object AnalyticsQueries {
         .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
           .cast(LongType).as("cents"))
       val a = spend.groupBy(col("cents").as("v")).agg(count(lit(1)).as("cnt"))
-      val w = DistributedRank.runningSum(a, Nil, Seq("v"), "cnt", "cuminc")
+      val w = DistributedRank.runningSumAdaptive(a, Nil, Seq("v"), "cnt", "cuminc")
         .withColumn("cume", col("cuminc") - col("cnt"))
       w.agg(
           sum((col("v") * (col("cnt") * col("cume") +
@@ -767,6 +767,13 @@ object AnalyticsQueries {
       val a = Tables(s, dir).lineitem
         .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
         .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).as("w"))
+      // deliberately NOT the adaptive dispatch: prices are near-unique
+      // (583k distinct among 600k sf0.1 lines), so this distinct-value
+      // table is ~fact-row-sized — the one prefix-sum consumer whose
+      // input the bytes estimate cannot tell apart from the bounded
+      // tables (same-minute ABA at sf0.1: kernel 2.28 s vs window
+      // 2.40–2.79 s; the 3-task window sort loses to 32 balanced
+      // partitions from here up, and the input only grows with data)
       DistributedRank.runningSum(a, Seq("l_returnflag"), Seq("v"), "w", "cw",
         outTotal = "tw")
         .filter(col("cw") * 2 >= col("tw"))

@@ -515,6 +515,85 @@ object DistributedRank {
     withRank.drop("__pid", "__off", "__offcnt", "__roff", "__lcum", "__gtot")
   }
 
+  /** Stats-bytes ceiling for [[runningSumAdaptive]]'s window branch.
+    * The prefix-sum consumers feed DERIVED aggregate tables
+    * (distinct-score, distinct-price, sweep points), where a count
+    * job for dispatch would recompute the aggregate itself — so
+    * dispatch is plan-statistics-only: window when the optimizer's
+    * size estimate proves the input small, kernel otherwise (derived
+    * frames inherit their child's size estimate, so a large FACT
+    * behind a small aggregate errs toward the kernel — the direction
+    * that only costs constant overhead, never the one-task cliff).
+    * Sized from the RankKernelScale global prefix-sum sweep — 1M
+    * rows: window 2.6 s vs kernel 5.3 s; 2M: 3.0 vs 5.0; 5M: 6.3 vs
+    * 5.4 (crossover ≈ 3–4M rows ≈ 60 MB at the ~18 B/row measured
+    * fact width) — 32 MB sits ~2× under the crossover.
+    */
+  val WindowPrefixMaxBytes: Long = 32L << 20
+
+  /** Size-adaptive [[runningSum]]: the plain running-sum window when
+    * the optimizer already proves the input below
+    * [[WindowPrefixMaxBytes]], the distributed kernel otherwise.
+    * The window branch replicates the kernel's output EXACTLY —
+    * `out` is `local-cum + 0` of the kernel's Add(sumType, sumType)
+    * type with SQL's null-until-first-value semantics, `outTotal`
+    * the non-null group total (0 when all-null), `outRank` the
+    * LongType row number — so consumers are byte-identical either
+    * side of the dispatch (spec-pinned both sides). The result is
+    * [[graft.CacheScope]]-scoped like the kernel's internal persist,
+    * keeping the multi-consumer single-source-scan contract.
+    */
+  def runningSumAdaptive(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      out: String = "cum",
+      outTotal: String = "",
+      outRank: String = "",
+      maxBytes: Long = WindowPrefixMaxBytes,
+      maxDriverRows: Int = DefaultMaxDriverRows): DataFrame = {
+    val statsBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (statsBytes > maxBytes)
+      runningSum(df, groupCols, orderCols, valueCol, out,
+        outTotal = outTotal, outRank = outRank, maxDriverRows = maxDriverRows)
+    else {
+      val sumType = df.select(sum(col(valueCol)).as("__s")).schema.head.dataType
+      require(sumType.isInstanceOf[org.apache.spark.sql.types.DecimalType] ||
+          sumType == LongType,
+        s"runningSum needs an exactly-summable value column (long or decimal); " +
+          s"$valueCol sums to $sumType")
+      val zero = lit(0).cast(sumType)
+      // every window expression rides the SAME (partition, order)
+      // spec — Spark groups window expressions by that pair, so cum,
+      // total (unbounded-both frame), and rank all evaluate in ONE
+      // WindowExec over one sort; and the running sum lands in an
+      // intermediate column first so the null-guard below does not
+      // duplicate the aggregate inside the operator
+      val wOrd = Window
+        .partitionBy(groupCols.map(col): _*)
+        .orderBy(orderCols.map(col): _*)
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = wOrd.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val withCum = df
+        .withColumn("__lcum", sum(col(valueCol)).over(wRun))
+        .withColumn(out,
+          when(col("__lcum").isNotNull, col("__lcum") + zero))
+      val withTotal =
+        if (outTotal.nonEmpty)
+          withCum.withColumn(outTotal,
+            coalesce(sum(col(valueCol)).over(wAll), zero))
+        else withCum
+      val withRank =
+        if (outRank.nonEmpty)
+          withTotal.withColumn(outRank,
+            row_number().over(wOrd).cast(LongType))
+        else withTotal
+      withRank.drop("__lcum")
+    }
+  }
+
   /** Distributed exact prefix max — `MAX(v) OVER (PARTITION BY g
     * ORDER BY … ROWS UNBOUNDED PRECEDING)` by the [[runningSum]]
     * construction. Unlike the sum, max is exact for ANY orderable

@@ -239,7 +239,7 @@ object EventQueries {
       val a = e.groupBy(col("v")).agg(
         sum(col("isp")).as("pos"),
         sum(lit(1L) - col("isp")).as("neg"))
-      DistributedRank.runningSum(a, Nil, Seq("v"), "neg", "cumneg")
+      DistributedRank.runningSumAdaptive(a, Nil, Seq("v"), "neg", "cumneg")
         .agg(
           sum(col("pos") * (lit(2) * (col("cumneg") - col("neg")) + col("neg"))).as("num2"),
           sum(col("pos")).as("p"), sum(col("neg")).as("n"))
@@ -335,7 +335,7 @@ object EventQueries {
           col("user_id"), lit(1L).as("delta"))
         .unionByName(sess.select(col("day"), col("en").as("t"), lit(1).as("k"),
           col("user_id"), lit(-1L).as("delta")))
-      val conc = DistributedRank.runningSum(pts, Seq("day"),
+      val conc = DistributedRank.runningSumAdaptive(pts, Seq("day"),
         Seq("t", "k", "user_id"), "delta", "conc")
       val peaks = conc.groupBy(col("day"))
         .agg(max(col("conc")).as("peak_concurrency"))

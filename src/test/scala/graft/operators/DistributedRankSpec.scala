@@ -145,6 +145,47 @@ class DistributedRankSpec extends AnyFunSuite {
     assert(gotTot == expTot)
   }
 
+  test("runningSumAdaptive is identical either side of the dispatch, all output columns") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val rows = Seq.tabulate(600) { i =>
+      val g = if (rng.nextInt(4) > 0) "hot" else s"g${rng.nextInt(3)}"
+      val v: java.lang.Long = if (rng.nextInt(10) == 0) null else rng.nextInt(100).toLong
+      (g, rng.nextInt(30).toLong, i.toLong, v)
+    }
+    for (dec <- Seq(false, true); groups <- Seq(Seq("g"), Seq.empty[String])) {
+      val base = rows.toDF("g", "ord", "id", "v")
+      val df = if (dec) base.withColumn("v", col("v").cast("decimal(12,2)")) else base
+      // maxBytes = 0 forces the kernel, Long.MaxValue the window path
+      val viaWindow = DistributedRank.runningSumAdaptive(
+        df, groups, Seq("ord", "id"), "v", "cum",
+        outTotal = "tot", outRank = "rk", maxBytes = Long.MaxValue)
+      val viaKernel = DistributedRank.runningSumAdaptive(
+        df, groups, Seq("ord", "id"), "v", "cum",
+        outTotal = "tot", outRank = "rk", maxBytes = 0L)
+      assert(viaWindow.schema.map(f => (f.name, f.dataType)) ==
+        viaKernel.schema.map(f => (f.name, f.dataType)),
+        s"type drift across the dispatch for dec=$dec groups=$groups: " +
+          s"${viaWindow.schema} vs ${viaKernel.schema}")
+      assert(viaWindow.exceptAll(viaKernel).count() == 0 &&
+        viaKernel.exceptAll(viaWindow).count() == 0,
+        s"value drift across the dispatch for dec=$dec groups=$groups")
+      graft.CacheScope.drain()
+    }
+    // all-null group: outTotal is 0 (not null) on both sides
+    val nulls = Seq(("a", 1L, 1L, null: java.lang.Long),
+      ("a", 2L, 2L, null: java.lang.Long)).toDF("g", "ord", "id", "v")
+    for (mb <- Seq(Long.MaxValue, 0L)) {
+      val r = DistributedRank.runningSumAdaptive(
+          nulls, Seq("g"), Seq("ord", "id"), "v", "cum",
+          outTotal = "tot", maxBytes = mb)
+        .select(col("cum"), col("tot")).collect()
+      assert(r.forall(x => x.isNullAt(0) && x.getLong(1) == 0L),
+        s"all-null semantics drift at maxBytes=$mb: ${r.mkString}")
+      graft.CacheScope.drain()
+    }
+  }
+
   test("runningSum outRank equals the plain window row_number") {
     import spark.implicits._
     val rng = new scala.util.Random(31)
