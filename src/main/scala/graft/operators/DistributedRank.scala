@@ -396,12 +396,85 @@ object DistributedRank {
     if (n0 <= thresholdRows) {
       val outCols = (groupCols :+ valueCol :+ out) ++
         (if (outTotal.nonEmpty) Seq(outTotal) else Nil)
-      valuesAtRanks(df, groupCols, valueCol +: tieCols, ranksOf, out,
-        outTotal = outTotal, maxDriverRows = maxDriverRows)
-        .select(outCols.map(col): _*)
+      // third tier under the window-rank bound (known rows) or the
+      // stats-bytes ceiling (rows only proven < thresholdRows): one
+      // group-count job + one plain window vs sort-selection's range
+      // exchange + carrier machinery. Alternating ABA at sf0.1, ≥4
+      // samples per side under heavy host weather, min per query:
+      // q116 1.18 vs 1.44 s (every window sample beat every
+      // sort-selection sample), q95 3.73 vs 4.24, q41 1.45 vs 1.60,
+      // q84 a wash (1.54 vs 1.53) — a small fixed-cost win from two
+      // fewer exchanges, and the stats guard keeps any data-sized
+      // input off the degenerate sort
+      val windowSized =
+        (n0 > 0L && n0 <= WindowRankMaxRows) ||
+          (n0 == 0L &&
+            df.queryExecution.optimizedPlan.stats.sizeInBytes <= WindowPrefixMaxBytes)
+      val hits =
+        if (windowSized)
+          valuesAtRanksWindow(df, groupCols, valueCol +: tieCols, ranksOf,
+            out, outTotal, maxDriverRows)
+        else
+          valuesAtRanks(df, groupCols, valueCol +: tieCols, ranksOf, out,
+            outTotal = outTotal, maxDriverRows = maxDriverRows)
+      hits.select(outCols.map(col): _*)
     } else
       valuesAtRanksByValue(df, groupCols, valueCol, ranksOf, out,
         outTotal, maxDriverRows)
+  }
+
+  /** The small tier of [[valuesAtRanksAdaptive]]: rank everything in
+    * a plain window (degenerate tasks are fine at this size) and keep
+    * the driver-built target ranks — one count job over ≤ #groups
+    * rows plus one window job, where sort-selection pays a range
+    * exchange, a persist, and the carrier-sliver machinery that only
+    * pay off once the sort partitions are worth balancing. Same
+    * contract as [[valuesAtRanks]]: `ranksOf` per group count,
+    * out-of-range targets dropped, exactly one row per surviving
+    * (group, target), NULL group keys a group of their own.
+    */
+  private def valuesAtRanksWindow(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      ranksOf: Long => Seq[Long],
+      out: String,
+      outTotal: String,
+      maxDriverRows: Int): DataFrame = {
+    val spark = df.sparkSession
+    // persisted for the same reason sort-selection persists its
+    // ranged frame: the count job and the window job must not each
+    // re-scan the source (the ledger budgets assume one scan per
+    // pass); the tier guard bounds the cached frame
+    val src = graft.CacheScope.scoped(df)
+    val countsDf = src.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val counts = collectBounded(countsDf, maxDriverRows, "valuesAtRanksWindow")
+    val tRows = counts.toSeq.flatMap { r =>
+      val n = r.getAs[Long]("__n")
+      ranksOf(n).distinct.filter(t => t >= 1 && t <= n)
+        .map(t => Row.fromSeq(r.toSeq.dropRight(1) ++ Seq(t, n)))
+    }
+    val tSchema = StructType(
+      countsDf.schema.fields.dropRight(1) ++ Seq(
+        StructField("__t", LongType, nullable = false),
+        StructField("__tt", LongType, nullable = false)))
+    val targets = spark.createDataFrame(
+      java.util.Arrays.asList(tRows: _*), tSchema)
+    val wOrd = Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val ranked = src.withColumn(out, row_number().over(wOrd).cast(LongType))
+    val renamed = groupCols.foldLeft(targets)(
+      (d, k) => d.withColumnRenamed(k, "__r_" + k))
+    val cond = ((ranked(out) === renamed("__t")) +:
+      groupCols.map(k => ranked(k) <=> renamed("__r_" + k))).reduce(_ && _)
+    val joined = ranked.join(broadcast(renamed), cond)
+      .drop(groupCols.map("__r_" + _): _*)
+    val withTotal =
+      if (outTotal.nonEmpty) joined.withColumn(outTotal, col("__tt"))
+      else joined
+    withTotal.drop("__t", "__tt")
   }
 
   /** Distributed exact prefix sum — `SUM(v) OVER (PARTITION BY g

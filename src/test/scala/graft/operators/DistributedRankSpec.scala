@@ -347,6 +347,14 @@ class DistributedRankSpec extends AnyFunSuite {
     assert(small.columns.toSeq == Seq("g", "v", "rn", "n"))
     assert(large.columns.toSeq == Seq("g", "v", "rn", "n"))
     assert(small.exceptAll(large).count() == 0 && large.exceptAll(small).count() == 0)
+    // the middle tier: a claimed row count past the window bound but
+    // under the threshold routes to sort-selection — pin it against
+    // the window tier (`small` above, 400 ≤ WindowRankMaxRows)
+    val sortSel = DistributedRank.valuesAtRanksAdaptive(df, Seq("g"), "v", Seq("id"),
+      ranks, "rn", outTotal = "n",
+      totalRows = DistributedRank.WindowRankMaxRows + 1, thresholdRows = 1000000000L)
+    assert(sortSel.columns.toSeq == Seq("g", "v", "rn", "n"))
+    assert(small.exceptAll(sortSel).count() == 0 && sortSel.exceptAll(small).count() == 0)
     graft.CacheScope.drain()
   }
 
