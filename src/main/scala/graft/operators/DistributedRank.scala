@@ -396,20 +396,18 @@ object DistributedRank {
     if (n0 <= thresholdRows) {
       val outCols = (groupCols :+ valueCol :+ out) ++
         (if (outTotal.nonEmpty) Seq(outTotal) else Nil)
-      // third tier under the window-rank bound (known rows) or the
-      // stats-bytes ceiling (rows only proven < thresholdRows): one
-      // group-count job + one plain window vs sort-selection's range
-      // exchange + carrier machinery. Alternating ABA at sf0.1, ≥4
-      // samples per side under heavy host weather, min per query:
-      // q116 1.18 vs 1.44 s (every window sample beat every
-      // sort-selection sample), q95 3.73 vs 4.24, q41 1.45 vs 1.60,
-      // q84 a wash (1.54 vs 1.53) — a small fixed-cost win from two
-      // fewer exchanges, and the stats guard keeps any data-sized
-      // input off the degenerate sort
-      val windowSized =
-        (n0 > 0L && n0 <= WindowRankMaxRows) ||
-          (n0 == 0L &&
-            df.queryExecution.optimizedPlan.stats.sizeInBytes <= WindowPrefixMaxBytes)
+      // third tier when the caller KNOWS the row count is under the
+      // window-rank bound: one group-count job + one plain window vs
+      // sort-selection's range exchange + carrier machinery.
+      // Alternating ABA at sf0.1, ≥6 samples per side across two
+      // weather regimes: q116 (this path) won EVERY sample — window
+      // 1.08–1.31 s vs sort-selection 1.41–1.69 s. The stats-proven
+      // branch (n0 == 0, rows only bounded by the 64 MB dispatch
+      // ceiling) measured a wash on q41/q84/q95 (window mins 1.45/
+      // 1.54/3.73 vs 1.60/1.53/4.24, overlapping distributions both
+      // regimes) and stays on sort-selection — the balanced exchange
+      // is the safer default when the actual cardinality is unknown.
+      val windowSized = n0 > 0L && n0 <= WindowRankMaxRows
       val hits =
         if (windowSized)
           valuesAtRanksWindow(df, groupCols, valueCol +: tieCols, ranksOf,
