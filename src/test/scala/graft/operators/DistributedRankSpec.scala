@@ -295,6 +295,47 @@ class DistributedRankSpec extends AnyFunSuite {
     graft.CacheScope.drain() // release the scoped frames the aborted builds registered
   }
 
+  test("window tier agrees with sort-selection and by-value on ties, nulls, and null groups") {
+    import spark.implicits._
+    val rng = new scala.util.Random(43)
+    for (trial <- 1 to 3) {
+      // same adversarial shape as the by-value test: heavy ties, a
+      // null-valued block, and a NULL group key — the window tier
+      // must produce the identical (g, v, rn, n) rows as both kernels
+      val rows = Seq.tabulate(400 + rng.nextInt(300)) { i =>
+        val g: java.lang.Long =
+          if (i % 11 == 0) null else if (rng.nextInt(5) > 0) 0L else rng.nextInt(3).toLong + 1
+        val v: java.lang.Long = if (rng.nextInt(9) == 0) null else rng.nextInt(12).toLong
+        (g, v, i.toLong)
+      }
+      val df = rows.toDF("g", "v", "id")
+      def ranks(n: Long): Seq[Long] = {
+        val h = (n - 1) * 0.5
+        Seq(1L, math.floor(h).toLong + 1, math.ceil(h).toLong + 1, n, n + 5)
+      }
+      // totalRows known and under the window bound → window tier
+      val byWindow = DistributedRank.valuesAtRanksAdaptive(df, Seq("g"), "v", Seq("id"),
+        ranks, "rn", outTotal = "n", totalRows = rows.size.toLong)
+      // claimed rows past the window bound, under the threshold → sort-selection
+      val bySort = DistributedRank.valuesAtRanksAdaptive(df, Seq("g"), "v", Seq("id"),
+        ranks, "rn", outTotal = "n",
+        totalRows = DistributedRank.WindowRankMaxRows + 1,
+        thresholdRows = Long.MaxValue)
+      // past the threshold → by-value
+      val byValue = DistributedRank.valuesAtRanksAdaptive(df, Seq("g"), "v", Seq("id"),
+        ranks, "rn", outTotal = "n", totalRows = rows.size.toLong, thresholdRows = 0L)
+      for ((other, name) <- Seq(bySort -> "sort-selection", byValue -> "by-value")) {
+        assert(byWindow.schema.map(f => (f.name, f.dataType)) ==
+          other.schema.map(f => (f.name, f.dataType)),
+          s"trial $trial schema drift window vs $name")
+        assert(byWindow.exceptAll(other).count() == 0 &&
+          other.exceptAll(byWindow).count() == 0,
+          s"trial $trial row drift window vs $name")
+      }
+      graft.CacheScope.drain()
+    }
+  }
+
   test("valuesAtRanksByValue selects the same values as sort-selection on ties, nulls, and null groups") {
     import spark.implicits._
     val rng = new scala.util.Random(41)
