@@ -407,9 +407,9 @@ object AdvancedQueries {
     // q91 — connected components on a CHAIN-shaped graph (each
     // customer's orders linked consecutively by date): the worst case
     // for hash-min propagation (rounds = chain length), run through
-    // [[ConnectedComponents.runAlternating]] — the small-star/
-    // large-star variant whose round count is O(log n) regardless of
-    // diameter. The oracle exploits that the chains are per-customer
+    // [[ConnectedComponents.runAdaptive]] — driver union-find below
+    // the bounded-collect tier, else the small-star/large-star
+    // variant whose round count is O(log n) regardless of diameter. The oracle exploits that the chains are per-customer
     // by construction, so the transitive closure collapses to a
     // min-over-customer window — the generic graph algorithm must
     // agree with the closed form exactly.
@@ -428,7 +428,7 @@ object AdvancedQueries {
         .withColumn("nxt", lead(col("o_orderkey"), 1).over(w))
         .filter(col("nxt").isNotNull)
         .select(col("o_orderkey").as("a"), col("nxt").as("b"))
-      ConnectedComponents.runAlternating(edges)
+      ConnectedComponents.runAdaptive(edges)
         .select(col("node"), col("label").as("component"))
         .orderBy(col("node"))
     },

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
 
 /** Connected components over an undirected edge list — the cluster-
   * assignment step a dedup pipeline runs after pair generation
@@ -19,7 +19,11 @@ import org.apache.spark.sql.types.DecimalType
   * component diameter; near-dup graphs are dense little cliques, so
   * this converges in 2-3 rounds. For web-scale graphs with long chains
   * use [[runAlternating]] — the small-star/large-star variant whose
-  * round count is O(log n) regardless of diameter.
+  * round count is O(log n) regardless of diameter. [[runAdaptive]]
+  * dispatches by exact edge count: a bounded pair table (the dedup
+  * norm — pairs are pipeline OUTPUT, far smaller than the corpus)
+  * labels via driver union-find in one collect, everything else runs
+  * the alternating loop.
   *
   * Determinism: min over node ids — no accumulation-order dependence.
   */
@@ -142,24 +146,220 @@ object ConnectedComponents {
   def runAlternating(edges: DataFrame, maxIter: Int = 50): DataFrame =
     runAlternatingWithRounds(edges, maxIter)._1
 
-  /** [[runAlternating]] plus rounds executed (expected O(log n)). */
-  def runAlternatingWithRounds(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+  /** Materialize the raw pairs ONCE before any self-union: the input
+    * is scanned a single time, and the checkpoint cuts the caller's
+    * plan constraints — self-unions over a constraint-carrying plan
+    * (e.g. an upstream filter whose column is pruned on one branch)
+    * trip UnionBase.rewriteConstraints ("key not found: <attr>").
+    * The checkpoint's materialization also yields the exact edge
+    * count (via observe, no extra job) — the loop-partition sizing
+    * AND tier-dispatch input; byte estimates through pair pipelines
+    * inflate wildly (see TightLoop.partsForRows), so the exact count
+    * that materialization gives for free is strictly better than the
+    * stats-first probe the rank kernels use.
+    */
+  private def materializeEdges(edges: DataFrame): (DataFrame, Long) = {
     val Seq(ca, cb) = edges.columns.toSeq.take(2)
-    // Materialize the raw pairs ONCE before any self-union: the input
-    // is scanned a single time, and the checkpoint cuts the caller's
-    // plan constraints — self-unions over a constraint-carrying plan
-    // (e.g. an upstream filter whose column is pruned on one branch)
-    // trip UnionBase.rewriteConstraints ("key not found: <attr>").
-    // The checkpoint's materialization also yields the exact edge
-    // count (via observe, no extra job) — the loop-partition sizing
-    // input; byte estimates through pair pipelines inflate wildly
-    // (see TightLoop.partsForRows).
     val rawObs = org.apache.spark.sql.Observation()
     val raw = edges
       .select(col(ca).as("a"), col(cb).as("b"))
       .observe(rawObs, count(lit(1)).as("n"))
       .localCheckpoint()
-    val rawCount = rawObs.get("n").asInstanceOf[Long]
+    (raw, rawObs.get("n").asInstanceOf[Long])
+  }
+
+  /** Edge-count bound for the driver union-find tier of
+    * [[runAdaptive]] — a MEASURED crossover, not a memory guess.
+    * ComponentsScale tier sweep on this box (broken-chain graphs,
+    * driver vs the contraction+alternating loop, same JVM per pair):
+    * 0.13M edges driver 3.8 s vs loop 5.6; 0.5M: 3.0 vs 3.2 (the
+    * tie); 1M: 5.1 vs 2.6; 2M/4M loop wins outright (pre-contraction
+    * the driver won to ~1M — 4.4 vs 4.8 — but the local-contraction
+    * pre-pass moved the loop's floor). The sweep's chains are
+    * co-partitioned (contraction's best case); scattered-edge graphs
+    * keep the driver tier competitive longer, so sitting at the
+    * co-partitioned tie errs toward the tier whose cost cannot
+    * degrade. Memory at the bound is a non-issue: two long edge
+    * arrays + sorted id array + int parents ≈ 25 MB, the same order
+    * as [[DistributedRank.DefaultMaxDriverRows]]'s offset tables.
+    */
+  val MaxDriverEdges: Long = 500000L
+
+  /** Plan-stats ceiling under which [[runAdaptive]] skips the
+    * checkpoint entirely and probes with a bounded limit-collect (ONE
+    * job — the sf0.1 q91 shape, where the checkpoint materialization
+    * was ~1/3 of the query's wall). Above it — or when pair-pipeline
+    * estimates inflate (they overshoot, never undershoot, so
+    * inflation errs toward the safe checkpoint path) — the edge list
+    * is checkpointed first and the probe cost is never paid twice.
+    */
+  val SmallEdgeStatsBytes: Long = 64L << 20
+
+  /** Size-adaptive connected components — the [[DistributedRank]]
+    * dispatch pattern applied to the transitive closure. Dispatch is
+    * stats-first: an edge plan the optimizer already proves under
+    * [[SmallEdgeStatsBytes]] is limit-collected directly (one job, no
+    * checkpoint); otherwise the list is materialized once (checkpoint
+    * + observed exact count, one scan) and dispatched on the exact
+    * count. Below [[MaxDriverEdges]] the closure runs as driver-side
+    * union-find over the collected pair table (a dedup graph's edge
+    * set is pair-pipeline output — orders of magnitude smaller than
+    * the corpus — so at certification scales this is the common case),
+    * above it as the O(log n)-round alternating-star loop. All tiers
+    * emit the IDENTICAL (node, component-min) labels in the identical
+    * column types ([[ConnectedComponentsSpec]] pins equality on
+    * chains, cliques, random graphs, and both sides of the bound), so
+    * a misjudged bound costs only constants, never bytes.
+    */
+  def runAdaptive(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val Seq(ca, cb) = edges.columns.toSeq.take(2)
+    val sel = edges.select(col(ca).as("a"), col(cb).as("b"))
+    val statsBytes = sel.queryExecution.optimizedPlan.stats.sizeInBytes
+    val probed =
+      if (statsBytes <= SmallEdgeStatsBytes) {
+        val rows = sel.limit(MaxDriverEdges.toInt + 1).collect()
+        if (rows.length <= MaxDriverEdges) Some(unionFindRows(sel, rows))
+        else None // stats under-estimated: fall through, pay one re-scan
+      } else None
+    probed.getOrElse {
+      val (raw, rawCount) = materializeEdges(sel)
+      if (rawCount <= MaxDriverEdges) driverUnionFind(raw, rawCount)
+      else alternatingFrom(raw, rawCount, maxIter)._1
+    }
+  }
+
+  /** Driver tier over an already-materialized edge list: collect the
+    * (bounded) pair table and label via [[unionFindRows]].
+    */
+  private[graft] def driverUnionFind(raw: DataFrame, edgeCount: Long): DataFrame = {
+    require(edgeCount <= Int.MaxValue,
+      s"driverUnionFind: $edgeCount edges cannot index an int array")
+    unionFindRows(raw, raw.collect())
+  }
+
+  /** The distributed tiers' output id type without running the
+    * analyzer over an explode plan: the common integral supertype of
+    * the two endpoint columns (what the explode(array(a, b)) coercion
+    * picks); non-integral or exotic pairs fall back to asking the
+    * analyzer.
+    */
+  private def nodeIdType(src: DataFrame): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val ta = src.schema.fields(0).dataType
+    val tb = src.schema.fields(1).dataType
+    val rank = Map[DataType, Int](
+      ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3)
+    if (ta == tb) ta
+    else (rank.get(ta), rank.get(tb)) match {
+      case (Some(x), Some(y)) => if (x >= y) ta else tb
+      case _ => src
+        .select(explode(array(col(src.columns(0)), col(src.columns(1)))))
+        .schema.head.dataType
+    }
+  }
+
+  /** One partition's spanning forest by union-find with path halving:
+    * consumes the partition's edges, emits (node, local-min-root) for
+    * every node that is not its own root — star edges, ≤ one per
+    * distinct node, never more rows than came in. Serializable
+    * top-level function (it ships inside the mapPartitions closure).
+    */
+  private def partitionForest(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val idx = new scala.collection.mutable.LongMap[Int]()
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+    def nodeOf(x: Long): Int = idx.getOrElseUpdate(x, {
+      ids += x; parent += ids.length - 1; ids.length - 1
+    })
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    while (it.hasNext) {
+      val (a, b) = it.next()
+      val ra = find(nodeOf(a))
+      val rb = find(nodeOf(b))
+      if (ra != rb) {
+        // min-ID root: insertion order ≠ id order, so compare ids
+        if (ids(ra) < ids(rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    Iterator.range(0, ids.length).flatMap { i =>
+      val r = find(i)
+      if (r == i) None else Some((ids(i), ids(r)))
+    }
+  }
+
+  /** Union-find with path halving over a collected pair table,
+    * attaching the larger-id root under the smaller-id root so every
+    * root is its component's minimum — the same fixpoint the
+    * distributed tiers converge to. Node ids are widened to long for
+    * the driver pass and cast back to the common input id type on
+    * emit, so the output is byte-identical to [[runAlternating]]'s.
+    */
+  private def unionFindRows(src: DataFrame, collected: Array[Row]): DataFrame = {
+    val spark = src.sparkSession
+    val nodeType = nodeIdType(src)
+    val m = collected.length
+    val as = new Array[Long](m)
+    val bs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val r = collected(i)
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "ConnectedComponents: null node id — edge endpoints must be non-null")
+      as(i) = r.get(0).asInstanceOf[Number].longValue()
+      bs(i) = r.get(1).asInstanceOf[Number].longValue()
+      i += 1
+    }
+    // dense index: sorted distinct ids; index order == id order, so
+    // "attach larger index under smaller index" == min-id roots
+    val ids = new Array[Long](2 * m)
+    System.arraycopy(as, 0, ids, 0, m)
+    System.arraycopy(bs, 0, ids, m, m)
+    java.util.Arrays.sort(ids)
+    var n = 0
+    var j = 0
+    while (j < ids.length) {
+      if (n == 0 || ids(n - 1) != ids(j)) { ids(n) = ids(j); n += 1 }
+      j += 1
+    }
+    val parent = new Array[Int](n)
+    var k = 0
+    while (k < n) { parent(k) = k; k += 1 }
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    var e = 0
+    while (e < m) {
+      val ra = find(java.util.Arrays.binarySearch(ids, 0, n, as(e)))
+      val rb = find(java.util.Arrays.binarySearch(ids, 0, n, bs(e)))
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+      e += 1
+    }
+    val rows = new java.util.ArrayList[Row](n)
+    var x = 0
+    while (x < n) { rows.add(Row(ids(x), ids(find(x)))); x += 1 }
+    val schema = StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("label", LongType, nullable = false)))
+    spark.createDataFrame(rows, schema)
+      .select(col("node").cast(nodeType).as("node"),
+        col("label").cast(nodeType).as("label"))
+  }
+
+  /** [[runAlternating]] plus rounds executed (expected O(log n)). */
+  def runAlternatingWithRounds(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    val (raw, rawCount) = materializeEdges(edges)
+    alternatingFrom(raw, rawCount, maxIter)
+  }
+
+  private def alternatingFrom(
+      raw: DataFrame, rawCount: Long, maxIter: Int): (DataFrame, Int) = {
     // NO Union operators anywhere below: a Union whose children share
     // lineage (self-union) or sit over a checkpointed plan with
     // preserved constraints trips Catalyst's
@@ -168,11 +368,41 @@ object ConnectedComponents {
     // rows with identical shuffle volume and no constraint rewrite.
 
     // All incident nodes (kept aside: the star loop drops self-loops,
-    // but a node whose only edge is a self-loop must still be labeled).
+    // but a node whose only edge is a self-loop must still be labeled;
+    // local contraction likewise drops nodes isolated within their
+    // partition's forest).
     val nodes = raw
       .select(explode(array(col("a"), col("b"))).as("node"))
       .distinct()
       .persist()
+
+    // Local-contraction pre-pass (r11): per-partition union-find over
+    // the edges each task already holds, emitting that partition's
+    // spanning forest as (node, partition-local min-root) star edges —
+    // a NARROW pass (no shuffle; output ≤ input rows) that collapses
+    // every path living inside one partition before the first star
+    // round ever shuffles. Connectivity is preserved exactly (a
+    // spanning forest of each edge subset keeps the union's
+    // components), and the output is already star-shaped, so the loop
+    // that follows converges in 1–2 rounds when edges arrive
+    // co-partitioned by their natural key (q91's per-customer chains
+    // ride the orders window's custkey hash: measured 12 → 1 round,
+    // 52.3 → 15.5 s warm / 70.9 → 36.6 s cold at 100×, ProbeIterative)
+    // and degrades to the uncontracted round count — never worse —
+    // when edges are scattered. This is the
+    // per-partition imperative tier mapPartitions exists for: the
+    // same local-contraction step the MapReduce-CC literature runs
+    // before alternation (Kiveris et al. §6 "optimizations").
+    def localContract(e: DataFrame): DataFrame = {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val nodeType = nodeIdType(e)
+      e.select(col("a").cast(LongType).as("a"), col("b").cast(LongType).as("b"))
+        .as[(Long, Long)]
+        .mapPartitions(partitionForest _)
+        .toDF("a", "b")
+        .select(col("a").cast(nodeType).as("a"), col("b").cast(nodeType).as("b"))
+    }
 
     // Each star needs min-over-neighborhood joined back onto every
     // edge of the neighborhood. A groupBy+join does that in two
@@ -203,32 +433,48 @@ object ConnectedComponents {
 
     // small-star: orient edges large→small, then link each node and
     // all its smaller neighbors directly to the smallest — the
-    // path-halving step. The (u, m) self-link is emitted alongside
-    // every (v, m) row and collapsed by the distinct (kept here: it
-    // canonicalizes the round's edge set for the fingerprint).
+    // path-halving step. One exchange, NO trailing distinct (the r11
+    // round-constant cut — the distinct was a third exchange per
+    // round): the (u, m) link is emitted once per GROUP (on the
+    // window's first row) instead of once per row, so the output is
+    // input-rows + #groups instead of 2× rows needing dedup. Without
+    // canonicalization duplicate (v, m) rows can ride along between
+    // rounds — harmless to every min — but at the star-forest fixpoint
+    // the output is STRUCTURALLY canonical regardless of input
+    // multiplicity (each fixpoint edge (x, root) forms its own
+    // u-group: the (v=root, m=root) row dies on the a≠b filter and
+    // the (u=x, m=root) row is emitted exactly once), so the
+    // fingerprint still goes stable exactly at fixpoint. Both window
+    // expressions share one (partition, order) spec — one sort; with
+    // rows ordered by v ascending the running min IS the partition
+    // min on every row.
     def smallStar(e: DataFrame): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("u").orderBy("v")
       e.select(
         greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
         .withColumn("m", min(col("v")).over(w))
+        .withColumn("__rn", row_number().over(w))
         .select(explode(array(
           struct(col("v").as("a"), col("m").as("b")),
-          struct(col("u").as("a"), col("m").as("b")))).as("p"))
+          struct(when(col("__rn") === 1, col("u")).as("a"), col("m").as("b")))).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
-        .filter(col("a") =!= col("b"))
-        .distinct()
+        .filter(col("a").isNotNull && col("a") =!= col("b"))
     }
 
-    // Set fingerprint: (count, sum(xxhash64(a,b))) — stable across a
-    // full round exactly at the star-forest fixpoint (a hash-sum
-    // collision masking a real change is negligible, and the oracle
-    // gate would catch it). Hashes are full-range 64-bit, so the sum
+    // Multiset fingerprint: (count, sum(xxhash64(a,b))) — stable
+    // across a full round exactly at the star-forest fixpoint (a
+    // hash-sum collision masking a real change is negligible, and the
+    // oracle gate would catch it). Pre-fixpoint rounds may carry
+    // duplicate rows since the r11 distinct removal (multiplicities
+    // ride the sum — still deterministic plans, still only stable at
+    // fixpoint because smallStar's fixpoint output is structurally
+    // canonical, see above). Hashes are full-range 64-bit, so the sum
     // goes through DECIMAL(38,0) — long sum would overflow under ANSI.
     // The fingerprint rides the checkpoint materialization via
     // observe() (one job per round instead of checkpoint + separate
-    // aggregate — the r8 iterative-floor shave; the distinct() that
-    // canonicalizes the edge set for it stays, same plan as r7).
+    // aggregate — the r8 iterative-floor shave).
     def checkpointWithFingerprint(df: DataFrame): (DataFrame, (Long, BigDecimal)) = {
       val obs = org.apache.spark.sql.Observation()
       val cp = df.observe(obs,
@@ -250,8 +496,12 @@ object ConnectedComponents {
     val loopState = TightLoop.scoped(
       raw.sparkSession,
       TightLoop.partsForRows(raw.sparkSession, 2L * rawCount)) {
+      // the contraction runs INSIDE this checkpoint's job (one
+      // materialization); the distinct canonicalizes the rare
+      // cross-partition duplicate forest edges and lays the loop
+      // input out at the TightLoop partition count
       val canon = checkpointWithFingerprint(
-        raw.filter(col("a") =!= col("b")).distinct())
+        localContract(raw).filter(col("a") =!= col("b")).distinct())
       var e = canon._1
       var prev = canon._2
       var converged = prev._1 == 0L

@@ -165,14 +165,28 @@ object DistributedRank {
       thresholdRows: Long = WindowRankMaxRows,
       maxDriverRows: Int = DefaultMaxDriverRows): DataFrame = {
     val n0 = if (totalRows >= 0L) totalRows else dispatchRows(df)
-    if (n0 <= thresholdRows) {
+    // n0 == 0 from dispatchRows proves only "stats ≤ 64 MB" — sized
+    // for the 20M-row selection crossover, which at the measured
+    // ~18 B/row admits ~3.7M rows, PAST this kernel's 2M window
+    // crossover. The window branch therefore needs the tighter proof:
+    // stats under [[WindowPrefixMaxBytes]] (32 MB ≈ 1.8M rows).
+    // Between the two ceilings fall through to the distributed kernel
+    // — a misjudgment there costs constant overhead, never the
+    // one-task sort cliff (the same err-direction as
+    // [[valuesAtRanksAdaptive]]'s n0 > 0L guard).
+    val windowSized =
+      if (totalRows >= 0L || n0 > 0L) n0 <= thresholdRows
+      else df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        WindowPrefixMaxBytes
+    if (windowSized) {
       val w = Window
         .partitionBy(groupCols.map(col): _*)
         .orderBy(orderCols.map(col): _*)
       // scoped like the distributed branch's internal persist: multi-
       // consumer callers (q59 derives stats from the ranks AND joins
-      // them back) must not re-scan the source per consumer, and the
-      // threshold bounds the cached frame at ≤ thresholdRows rows
+      // them back) must not re-scan the source per consumer; the
+      // cached frame is bounded by thresholdRows rows (counted case)
+      // or WindowPrefixMaxBytes stats (stats-proven case)
       graft.CacheScope.scoped(
         df.withColumn(out, row_number().over(w).cast(LongType)))
     } else
@@ -661,7 +675,10 @@ object DistributedRank {
           withTotal.withColumn(outRank,
             row_number().over(wOrd).cast(LongType))
         else withTotal
-      withRank.drop("__lcum")
+      // scoped like the kernel's internal persist — the docstring's
+      // multi-consumer single-source-scan contract; the 32 MB stats
+      // ceiling bounds the cached frame
+      graft.CacheScope.scoped(withRank.drop("__lcum"))
     }
   }
 

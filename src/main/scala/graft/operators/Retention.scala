@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
 /** Cluster retention: collapse near-dup PAIRS into a kept corpus.
-  * Components via hash-min label propagation
-  * ([[ConnectedComponents]]), then each cluster keeps exactly one
+  * Components via the size-adaptive closure
+  * ([[ConnectedComponents.runAdaptive]] — driver union-find under the
+  * bounded-collect tier, alternating stars above it), then each
+  * cluster keeps exactly one
   * member — the best `scoreCol` (id tiebreak); docs in no pair keep
   * themselves.
   *
@@ -29,7 +31,7 @@ object Retention {
     * (idCol, component, scoreCol, keep 0/1), one row per scored id.
     */
   def retainBest(pairs: DataFrame, scored: DataFrame, idCol: String, scoreCol: String): DataFrame = {
-    val comp = ConnectedComponents.run(pairs)
+    val comp = ConnectedComponents.runAdaptive(pairs)
     val w = Window.partitionBy(col("component"))
       .orderBy(col(scoreCol).desc, col(idCol))
     scored.join(comp, scored(idCol) === comp("node"), "left")

@@ -550,8 +550,10 @@ object TextQueries {
 
     // ------------------------------------------------------------------
     // q69 — dedup cluster assignment: connected components over the
-    // q29 near-dup pair graph (hash-min label propagation — see
-    // [[ConnectedComponents]]). Pairs say "a ~ b"; retention policy
+    // q29 near-dup pair graph (size-adaptive — see
+    // [[ConnectedComponents.runAdaptive]]; a pair table this side of
+    // the bounded-collect tier labels via driver union-find in one
+    // pass). Pairs say "a ~ b"; retention policy
     // needs the transitive closure. The oracle computes the same
     // closure with a recursive CTE (min reachable id per node).
     QueryDef.sql(
@@ -566,7 +568,7 @@ object TextQueries {
          |SELECT node AS doc_id, MIN(label) AS component
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val edges = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
-      ConnectedComponents.run(edges)
+      ConnectedComponents.runAdaptive(edges)
         .select(col("node").as("doc_id"), col("label").as("component"))
         .orderBy(col("doc_id"))
     },

@@ -90,6 +90,9 @@ object ComponentsScale {
         col("node") >= 200000L && col("node") < 205000L &&
           col("label") =!= expr("200000 + ((node - 200000) div 50) * 50")).count() == 0L}"
 
+    // With explicit sweep sizes, run ONLY the tier sweep (part 3).
+    if (args.isEmpty) {
+
     // 1. dense regime (hash-min's home turf): both engines, equality
     val (minLabels, _) = ConnectedComponents.runWithRounds(denseOnly, 30)
     report("hash-min", "dense-only",
@@ -108,6 +111,38 @@ object ComponentsScale {
     report("alternating", "with-chain",
       ConnectedComponents.runAlternatingWithRounds(full, 50), 50,
       l => s"${chainOk(l)} ${cliqueOk(l)}")
+    }
+
+    // 3. driver-union-find tier vs the alternating loop across edge
+    // counts (q91-shaped graph: many short per-key chains, the dedup
+    // norm) — the [[ConnectedComponents.MaxDriverEdges]] sizing sweep.
+    // `runAdaptive` takes the driver tier at every size under the
+    // bound; sizes above it print alternating twice.
+    val sweep =
+      if (args.nonEmpty) args.toSeq.map(_.toLong)
+      else Seq(130000L, 1000000L, 4000000L)
+    for (edges <- sweep) {
+      val chains = spark.range(0L, edges)
+        .select(col("id").as("a"),
+          when(pmod(col("id") + 1L, lit(20L)) === 0L, col("id"))
+            .otherwise(col("id") + 1L).as("b"))
+        .filter(col("a") =!= col("b"))
+      def sumLabels(df: DataFrame): String = {
+        val s = df.agg(sum(col("label"))).head().getLong(0)
+        s"labelsum=$s"
+      }
+      val (adaptive, tAdaptive) = time {
+        val l = ConnectedComponents.runAdaptive(chains)
+        (sumLabels(l), 0)
+      }
+      println(f"adaptive    chain-${edges}%-8d wall=$tAdaptive%6.1fs  ${adaptive._1}")
+      val (alt, tAlt) = time {
+        val l = ConnectedComponents.runAlternating(chains)
+        (sumLabels(l), 0)
+      }
+      println(f"alternating chain-${edges}%-8d wall=$tAlt%6.1fs  ${alt._1}")
+      assert(adaptive._1 == alt._1, s"tier mismatch at $edges edges")
+    }
 
     spark.stop()
   }

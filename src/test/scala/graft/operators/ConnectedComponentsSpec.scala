@@ -76,4 +76,70 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(viaStar == viaMin)
   }
+
+  // --- adaptive dispatch: both tiers must be byte-identical ---------
+
+  private def mixedGraph = Seq(
+    (2L, 1L), (2L, 3L), (4L, 3L),          // chain
+    (10L, 11L), (11L, 12L), (10L, 12L),    // triangle
+    (21L, 20L), (30L, 30L),                // pair + self-loop-only
+    (40L, 41L), (41L, 40L), (40L, 41L)     // duplicate + reversed edges
+  ).toDF("a", "b")
+
+  test("adaptive (driver tier) matches alternating on the mixed graph") {
+    val viaStar = ConnectedComponents.runAlternating(mixedGraph)
+      .as[(Long, Long)].collect().toMap
+    // 11 edges < MaxDriverEdges → driver union-find tier
+    val viaDriver = ConnectedComponents.runAdaptive(mixedGraph)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == viaStar)
+    assert(viaDriver(30L) == 30L)
+  }
+
+  test("driver tier output schema matches the distributed tier's types") {
+    val intEdges = Seq((2, 1), (3, 2)).toDF("a", "b")
+    val driverTier = ConnectedComponents.runAdaptive(intEdges)
+    val starTier = ConnectedComponents.runAlternating(intEdges)
+    assert(driverTier.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      starTier.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(driverTier.as[(Int, Int)].collect().toMap ==
+      starTier.as[(Int, Int)].collect().toMap)
+  }
+
+  test("both sides of the dispatch bound agree on a 512-link chain") {
+    val n = 512L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val want = (1L to n).map(_ -> 1L).toMap
+    // force each tier regardless of the bound: the driver tier
+    // directly, the distributed tier via runAlternating
+    val (raw, cnt) = {
+      val obs = org.apache.spark.sql.Observation()
+      val r = edges.select($"a", $"b")
+        .observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .localCheckpoint()
+      (r, obs.get("n").asInstanceOf[Long])
+    }
+    val viaDriver = ConnectedComponents.driverUnionFind(raw, cnt)
+      .as[(Long, Long)].collect().toMap
+    val viaStar = ConnectedComponents.runAlternating(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == want)
+    assert(viaStar == want)
+  }
+
+  test("adaptive on empty edges yields empty labeling") {
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(ConnectedComponents.runAdaptive(edges).count() == 0L)
+  }
+
+  test("driver tier rejects null node ids loudly") {
+    val edges = Seq((Some(1L), Some(2L)), (Some(3L), None))
+      .toDF("a", "b")
+    val ex = intercept[Exception] {
+      ConnectedComponents.runAdaptive(edges).collect()
+    }
+    assert(ex.getMessage.contains("null node id") ||
+      Option(ex.getCause).exists(_.getMessage.contains("null node id")))
+  }
 }
