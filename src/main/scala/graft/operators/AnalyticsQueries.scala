@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.{CacheScope, QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, IntegerType, LongType}
@@ -563,26 +563,32 @@ object AnalyticsQueries {
         |  CAST(quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS REAL) AS mad
         |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
         |GROUP BY l.l_returnflag, m.med ORDER BY l.l_returnflag""".stripMargin) { (s, dir) =>
-      // interpolated p50 of `v` per l_returnflag via the adaptive
-      // rank selection — only the ≤2 median-straddling values per
-      // group leave the pass. Below the measured crossover that is
-      // one full sort-selection exchange; above it the value-domain
-      // form keeps BOTH cascaded medians' shuffles bounded by
-      // distinct values (prices, then absolute deviations — each
-      // replica-invariant; measured 38.1 → ~10 s at 100×). The
-      // lineitem row count from the first pass sizes the second too
-      // (the broadcast inner join on l_returnflag preserves row
-      // count: every group present in `li` has a median row), so the
-      // derived `devs` frame is never recounted — that count would
-      // recompute the join.
-      def med50(df: org.apache.spark.sql.DataFrame, v: String, out: String,
-          totalRows: Long) = {
-        val hits = DistributedRank.valuesAtRanksAdaptive(df,
-          Seq("l_returnflag"), v, Seq("l_orderkey", "l_linenumber"),
-          n => {
-            val hp = (n - 1) * 0.5
-            Seq(math.floor(hp).toLong + 1, math.ceil(hp).toLong + 1)
-          }, "rn", outTotal = "n", totalRows = totalRows)
+      // interpolated p50 per l_returnflag, cascaded ONCE over the
+      // fact (the r11 fusion — the r10 form re-scanned lineitem and
+      // re-exchanged full rows for the second median):
+      //   - small tier (counted/stats ≤ the sort-selection
+      //     crossover): both adaptive selections consume one CACHED
+      //     4-column projection — pass 2's deviations derive from the
+      //     cache, not a second parquet scan;
+      //   - large tier: pass 1 aggregates the fact to its distinct
+      //     (flag, price) count table — the ONLY fact-sized exchange
+      //     in the whole query — and pass 2's (flag, |price−med|)
+      //     count table derives from THAT table by arithmetic +
+      //     re-aggregation (counts merge where two prices fold onto
+      //     one deviation), so the second selection exchanges
+      //     distinct-value rows, never fact rows
+      //     ([[DistributedRank.valuesAtRanksFromCounts]]). Both
+      //     cascaded shuffles stay bounded by distinct values —
+      //     replica-invariant at 100 TB.
+      // The lineitem row count from the first dispatch sizes the
+      // second selection too (the broadcast inner join on
+      // l_returnflag preserves row count), so the derived frame is
+      // never recounted.
+      def medianRanks(n: Long): Seq[Long] = {
+        val hp = (n - 1) * 0.5
+        Seq(math.floor(hp).toLong + 1, math.ceil(hp).toLong + 1)
+      }
+      def interp(hits: org.apache.spark.sql.DataFrame, v: String, out: String) = {
         val h = (col("n") - 1).cast(DoubleType) * lit(0.5)
         val lo = min(when(col("rn") === floor(h).cast("long") + 1, col(v)))
         val hi = min(when(col("rn") === ceil(h).cast("long") + 1, col(v)))
@@ -594,12 +600,46 @@ object AnalyticsQueries {
         .select(col("l_returnflag"), col("l_extendedprice"),
           col("l_orderkey"), col("l_linenumber"))
       val n0 = DistributedRank.dispatchRows(li) // stats-only at small SF
-      val meds = med50(li, "l_extendedprice", "med", n0)
-      val devs = li.join(broadcast(meds), "l_returnflag")
-        .withColumn("dev", abs(col("l_extendedprice") - col("med")))
-        .select(col("l_returnflag"), col("dev"), col("med"),
-          col("l_orderkey"), col("l_linenumber"))
-      val mads = med50(devs, "dev", "mad", n0)
+      val (meds, mads) =
+        if (n0 <= DistributedRank.SortSelectionMaxRows) {
+          // NOT cached: measured 3.1–3.4 s uncached vs 3.7–3.8 s
+          // persisted at sf0.1 (same weather window, min-of-2 pairs) —
+          // at small-tier sizes the column-pruned parquet re-scan is
+          // cheaper than the cache write+read, the same r7→r8 persist
+          // result scopedIfLarge encodes; the large tier below is
+          // where the single-fact-pass fusion matters
+          val base = li
+          val m = interp(DistributedRank.valuesAtRanksAdaptive(base,
+            Seq("l_returnflag"), "l_extendedprice",
+            Seq("l_orderkey", "l_linenumber"), medianRanks, "rn",
+            outTotal = "n", totalRows = n0), "l_extendedprice", "med")
+          val devs = base.join(broadcast(m), "l_returnflag")
+            .withColumn("dev", abs(col("l_extendedprice") - col("med")))
+            .select(col("l_returnflag"), col("dev"),
+              col("l_orderkey"), col("l_linenumber"))
+          val d = interp(DistributedRank.valuesAtRanksAdaptive(devs,
+            Seq("l_returnflag"), "dev", Seq("l_orderkey", "l_linenumber"),
+            medianRanks, "rn", outTotal = "n", totalRows = n0), "dev", "mad")
+          (m, d)
+        } else {
+          val vc = CacheScope.scoped(
+            li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+              .agg(count(lit(1)).as("__cnt")))
+          val m = interp(DistributedRank.valuesAtRanksFromCounts(vc,
+            Seq("l_returnflag"), "l_extendedprice", "__cnt", medianRanks,
+            "rn", outTotal = "n"), "l_extendedprice", "med")
+          val vcDev = CacheScope.scoped(
+            vc.join(broadcast(m), "l_returnflag")
+              .select(col("l_returnflag"),
+                abs(col("l_extendedprice") - col("med")).as("dev"),
+                col("__cnt"))
+              .groupBy(col("l_returnflag"), col("dev"))
+              .agg(sum(col("__cnt")).as("__cnt")))
+          val d = interp(DistributedRank.valuesAtRanksFromCounts(vcDev,
+            Seq("l_returnflag"), "dev", "__cnt", medianRanks,
+            "rn", outTotal = "n"), "dev", "mad")
+          (m, d)
+        }
       meds.join(mads, "l_returnflag")
         .select(col("l_returnflag"),
           col("med").cast("float").as("med"),

@@ -321,12 +321,38 @@ object DistributedRank {
       out: String = "rn",
       outTotal: String = "",
       maxDriverRows: Int = DefaultMaxDriverRows): DataFrame = {
-    val spark = df.sparkSession
     val vc = graft.CacheScope.scoped(
       df.groupBy((groupCols :+ valueCol).map(col): _*)
         .agg(count(lit(1)).as("__cnt")))
-    val totsDf = vc.groupBy(groupCols.map(col): _*).agg(sum(col("__cnt")).as("__tot"))
-    val tots = collectBounded(totsDf, maxDriverRows, "valuesAtRanksByValue")
+    valuesAtRanksFromCounts(vc, groupCols, valueCol, "__cnt", ranksOf,
+      out, outTotal, maxDriverRows)
+  }
+
+  /** [[valuesAtRanksByValue]] over a CALLER-SUPPLIED per-(group,
+    * value) count table — the cascade-fusion entry point. `vc` holds
+    * one row per (groupCols…, valueCol) with `cntCol` = that value's
+    * row count; the caller owns its persistence (it is consumed twice
+    * here: group totals + the prefix sum). Cascaded quantiles (q95's
+    * median-of-deviations) derive the SECOND stage's count table from
+    * the first's by pure arithmetic on the value column — counts
+    * merging where two values map to the same derived value — so the
+    * fact is scanned and shuffled exactly once for the whole cascade,
+    * and the second selection's exchange is bounded by DISTINCT
+    * DERIVED VALUES, not rows.
+    */
+  def valuesAtRanksFromCounts(
+      vc: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      cntCol: String,
+      ranksOf: Long => Seq[Long],
+      out: String = "rn",
+      outTotal: String = "",
+      maxDriverRows: Int = DefaultMaxDriverRows): DataFrame = {
+    val spark = vc.sparkSession
+    val vcc = if (cntCol == "__cnt") vc else vc.withColumnRenamed(cntCol, "__cnt")
+    val totsDf = vcc.groupBy(groupCols.map(col): _*).agg(sum(col("__cnt")).as("__tot"))
+    val tots = collectBounded(totsDf, maxDriverRows, "valuesAtRanksFromCounts")
     val targetRows = tots.toSeq.flatMap { r =>
       val total = r.getAs[Long]("__tot")
       ranksOf(total).filter(k => k >= 1 && k <= total).distinct.sorted
@@ -338,7 +364,7 @@ object DistributedRank {
         StructField("__tt", LongType, nullable = false)))
     val targets = spark.createDataFrame(
       java.util.Arrays.asList(targetRows: _*), targetSchema)
-    val cum = runningSum(vc, groupCols, Seq(valueCol), "__cnt", "__cume")
+    val cum = runningSum(vcc, groupCols, Seq(valueCol), "__cnt", "__cume")
     // null-safe group keys + the rank-window range condition; the
     // target list is groups × ranks — always broadcast-sized
     val renamed = groupCols.foldLeft(targets)((d, k) => d.withColumnRenamed(k, "__r_" + k))

@@ -399,6 +399,55 @@ class DistributedRankSpec extends AnyFunSuite {
     graft.CacheScope.drain()
   }
 
+  test("fused value-domain MAD cascade matches the row-level two-pass cascade") {
+    import spark.implicits._
+    // the q95 shape: median of v per group, then median of |v − med|,
+    // computed (a) as two row-level sort selections over the fact and
+    // (b) as the fused cascade — one groupBy(g, v) count table, the
+    // second stage's counts DERIVED from the first by arithmetic +
+    // re-aggregation (valuesAtRanksFromCounts). Both must emit the
+    // exact same interpolated doubles.
+    val rng = new scala.util.Random(7)
+    val rows = Seq.tabulate(900) { i =>
+      (i % 3, rng.nextInt(40).toDouble * 1.25, i.toLong)
+    }
+    val df = rows.toDF("g", "v", "id")
+    def medianRanks(n: Long): Seq[Long] = {
+      val h = (n - 1) * 0.5
+      Seq(math.floor(h).toLong + 1, math.ceil(h).toLong + 1)
+    }
+    def interp(hits: org.apache.spark.sql.DataFrame, v: String, out: String) = {
+      val h = (col("n") - 1).cast("double") * lit(0.5)
+      val lo = min(when(col("rn") === floor(h).cast("long") + 1, col(v)))
+      val hi = min(when(col("rn") === ceil(h).cast("long") + 1, col(v)))
+      hits.groupBy(col("g")).agg((lo + (max(h) - floor(max(h))) * (hi - lo)).as(out))
+    }
+    // (a) row-level two-pass
+    val medsA = interp(DistributedRank.valuesAtRanks(df, Seq("g"), Seq("v", "id"),
+      medianRanks, "rn", outTotal = "n"), "v", "med")
+    val devsA = df.join(broadcast(medsA), "g")
+      .withColumn("dev", abs(col("v") - col("med")))
+    val madsA = interp(DistributedRank.valuesAtRanks(devsA, Seq("g"), Seq("dev", "id"),
+      medianRanks, "rn", outTotal = "n"), "dev", "mad")
+    val a = medsA.join(madsA, "g").as[(Int, Double, Double)].collect().toSet
+    graft.CacheScope.drain()
+    // (b) fused value-domain cascade
+    val vc = graft.CacheScope.scoped(
+      df.groupBy(col("g"), col("v")).agg(count(lit(1)).as("__cnt")))
+    val medsB = interp(DistributedRank.valuesAtRanksFromCounts(vc, Seq("g"), "v",
+      "__cnt", medianRanks, "rn", outTotal = "n"), "v", "med")
+    val vcDev = graft.CacheScope.scoped(
+      vc.join(broadcast(medsB), "g")
+        .select(col("g"), abs(col("v") - col("med")).as("dev"), col("__cnt"))
+        .groupBy(col("g"), col("dev")).agg(sum(col("__cnt")).as("__cnt")))
+    val madsB = interp(DistributedRank.valuesAtRanksFromCounts(vcDev, Seq("g"), "dev",
+      "__cnt", medianRanks, "rn", outTotal = "n"), "dev", "mad")
+    val b = medsB.join(madsB, "g").as[(Int, Double, Double)].collect().toSet
+    graft.CacheScope.drain()
+    assert(a == b)
+    assert(a.size == 3)
+  }
+
   test("valuesAtRanks handles the groupless global-quantile shape") {
     import spark.implicits._
     val df = (1L to 101L).map(i => (i % 13, i)).toDF("v", "id")
