@@ -157,9 +157,11 @@ object CurationQueries {
         lit(" ip 10.0."), (col("doc_id") % 256).cast(StringType), lit(".7"))
       // fused kernel: one expression does all three redaction passes
       // plus the original-text counts — byte-identical to
-      // redactPii(t)/piiCount(t) (PiiStatsSpec pins it) with one
-      // UTF8String→String conversion instead of six; the composed
-      // form measured 24.0 s isolated at 100×
+      // redactPii(t)/piiCount(t) (PiiStatsSpec pins it, incl. a 20k
+      // fuzz vs java.util.regex) with one UTF8String→String
+      // conversion instead of six and r11's hand-rolled scanners
+      // instead of the regex interpreter; isolated 100×: 24.0 s
+      // composed → 17.3 s fused regex → 2.7 s scanners
       Tables(s, dir).documents
         .select(col("doc_id"), injected.as("t"))
         .select(col("doc_id"), graft.functions.PiiStats(col("t")).as("p"))

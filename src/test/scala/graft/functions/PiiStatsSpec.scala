@@ -58,6 +58,60 @@ class PiiStatsSpec extends AnyFunSuite {
     assert(r.getInt(2) == 2) // email + the IP inside its host
   }
 
+  test("hand-rolled scanners replicate java.util.regex on 20k fuzzed strings") {
+    // pure-JVM fuzz against the regex engine the kernel replaced in
+    // r11: sequential replace and original-text counts, byte-for-byte.
+    // The alphabet is stacked with boundary/backtracking hazards:
+    // digit runs, dots, '@'s, '<EMAIL>'-adjacent word chars, hosts
+    // that force TLD backtracking, >4-digit phones, >3-digit octets.
+    import java.util.regex.Pattern
+    val email = Pattern.compile(PiiStats.EmailRe)
+    val phone = Pattern.compile(PiiStats.PhoneRe)
+    val ipv4 = Pattern.compile(PiiStats.Ipv4Re)
+    def reference(s: String): (String, Int) = {
+      var n = 0
+      val me = email.matcher(s)
+      while (me.find()) n += 1
+      val mp = phone.matcher(s)
+      while (mp.find()) n += 1
+      val mi = ipv4.matcher(s)
+      while (mi.find()) n += 1
+      val r = ipv4.matcher(
+        phone.matcher(
+          email.matcher(s).replaceAll("<EMAIL>"))
+          .replaceAll("<PHONE>"))
+        .replaceAll("<IP>")
+      (r, n)
+    }
+    def kernel(s: String): (String, Int) = {
+      val row = PiiStats.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      (row.getUTF8String(0).toString, row.getInt(1))
+    }
+    val rng = new scala.util.Random(173)
+    val atoms = Vector(
+      "555-", "555-1", "555-12345", "a555-9", "555-0x",
+      "1.2.3.4", "12.34.56.78", "1234.5.6.7", "1.2.3.4567", "1.2.3",
+      "9.9.9.9.9", "...", ".", "-", "@", "@@", "_", "%", "+",
+      "a", "zz", "A", "5", "999", "com", ".com", "x.com",
+      "a@b.cd", "a@b.c", "x@y.com555-12", "bob@10.0.0.1.example.com",
+      "555-1.2.3.4", "a@_b@c.dd", "x@b.c@d.ee", "1.2.3.4@host.com",
+      "user.name+tag@mail.example.com", "<EMAIL>", ">", "<",
+      "a@b.cde9", "a@b.cd.ef", "a@-.cd", "a@.cd", "@x.cd", "p@q.")
+    var trial = 0
+    while (trial < 20000) {
+      val k = 1 + rng.nextInt(8)
+      val sep = if (rng.nextBoolean()) " " else ""
+      val s = Seq.fill(k)(atoms(rng.nextInt(atoms.size))).mkString(sep)
+      assert(kernel(s) == reference(s), s"fuzz mismatch on: '$s'")
+      trial += 1
+    }
+    // a few fixed shapes fuzz may miss
+    for (s <- Seq("", " ", "555-5550", "1.2.1.2.3.4", "ab@c@d.ef",
+        "x 555-99@mail.com", "2555-12@x.com", "m@x.com555-1.2.3.4"))
+      assert(kernel(s) == reference(s), s"fixed-case mismatch on: '$s'")
+  }
+
   test("stays inside whole-stage codegen over a real scan") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id").as("id"), col("text").as("t"))
