@@ -28,6 +28,25 @@ object RangeJoin {
     * |leftTime − rightTime| ≤ gapMicros. Time columns must be
     * timestamps; all columns of both sides survive (disambiguate
     * before calling if names collide).
+    *
+    * `bucketMicros` is the quantization width (default = the gap):
+    * the replicated side gets one copy per bucket within
+    * ⌊gap/width⌋ + 1 of its own, which is exactly the band a
+    * qualifying pair can span, so any width is complete — width only
+    * trades replication volume (2K+1 copies) against false-candidate
+    * volume (pairs within gap + width survive to the exact filter).
+    * Width = gap is the MEASURED optimum on the q67 shape at 100×
+    * density (ProbeQ67 sweep, 10M events / 1500 users / 517.5M true
+    * pairs — join+filter wall and pre-filter candidates per width:
+    * gap/4 17.2 s / 1.051e9 (×9 replication); gap/2 7.8 s / 1.057e9
+    * (×5); gap 3.7 s / 1.068e9 (×3); 2·gap 3.7 s / 1.138e9 (×3)).
+    * At this density the candidate set is ≈2× the true pairs at EVERY
+    * width — the pairs themselves dominate the band — so narrower
+    * buckets buy ~1% fewer candidates while multiplying the
+    * replicated shuffle; the same sweep puts q67's 100× floor in the
+    * OUTPUT (the 517M-row semantic ORDER BY is ~91 s of the 95 s
+    * query; the bucketed join is 3.7 s). The knob exists for shapes
+    * whose density × gap product is far from q67's.
     */
   def withinGap(
       left: DataFrame,
@@ -35,13 +54,20 @@ object RangeJoin {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      gapMicros: Long): DataFrame = {
+      gapMicros: Long,
+      bucketMicros: Long = 0L): DataFrame = {
     require(gapMicros > 0, "gapMicros must be positive")
-    val lb = floor(unix_micros(col(leftTime)) / gapMicros)
-    val rb = floor(unix_micros(col(rightTime)) / gapMicros)
+    val width = if (bucketMicros > 0) bucketMicros else gapMicros
+    // exact band: max bucket span of a qualifying pair is
+    // ceil(gap/width) (integer micros), so ±k replication is complete
+    // and minimal; width = gap keeps the original ±1 plan
+    val k = ((gapMicros + width - 1) / width).toInt
+    val lb = floor(unix_micros(col(leftTime)) / width)
+    val rb = floor(unix_micros(col(rightTime)) / width)
     val l = left.withColumn("__bucket", lb)
-    // the replicated side: one copy per adjacent bucket
-    val r = right.withColumn("__bucket", explode(array(rb - 1, rb, rb + 1)))
+    // the replicated side: one copy per bucket within ±k
+    val r = right.withColumn("__bucket",
+      explode(sequence(rb - k, rb + k)))
     l.join(r, keys :+ "__bucket")
       .filter(
         abs(unix_micros(col(leftTime)) - unix_micros(col(rightTime))) <= gapMicros)

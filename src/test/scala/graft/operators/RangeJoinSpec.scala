@@ -12,13 +12,16 @@ class RangeJoinSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
-  private def pairs(gapMicros: Long): (Set[(Long, Long)], Set[(Long, Long)]) = {
+  private def pairs(
+      gapMicros: Long,
+      bucketMicros: Long = 0L): (Set[(Long, Long)], Set[(Long, Long)]) = {
     val e = Tables(spark, "/root/testdata/sf0.001").events
       .select(col("event_id"), col("user_id"), col("ts"))
     val a = e.select(col("event_id").as("ea"), col("user_id"), col("ts").as("ta"))
     val b = e.select(col("event_id").as("eb"), col("user_id"), col("ts").as("tb"))
 
-    val bucketed = RangeJoin.withinGap(a, b, Seq("user_id"), "ta", "tb", gapMicros)
+    val bucketed = RangeJoin.withinGap(a, b, Seq("user_id"), "ta", "tb",
+        gapMicros, bucketMicros)
       .filter(col("ea") < col("eb"))
       .select("ea", "eb").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -36,6 +39,17 @@ class RangeJoinSpec extends AnyFunSuite {
     Seq(60L * 1000000, 900L * 1000000).foreach { gap =>
       val (got, want) = pairs(gap)
       assert(got == want, s"gap=$gap: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("non-default bucket widths stay complete (±k replication band)") {
+    // narrower (k = 4), non-dividing (k = 2), and wider (k = 1)
+    // widths must all return exactly the naive join's rows
+    val gap = 900L * 1000000
+    for (width <- Seq(gap / 4, gap * 2 / 3, 2 * gap)) {
+      val (got, want) = pairs(gap, width)
+      assert(got == want,
+        s"width=$width: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
     }
   }
 
