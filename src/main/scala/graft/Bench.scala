@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Shared timing kernel for [[Bench]] (the driver's one-JSON-line
@@ -44,6 +46,59 @@ private[graft] object BenchKernel {
   // counter that actually grew)
   val probe: Boolean = sys.env.get("SPARK_GRAFT_PROBE").contains("1")
 
+  /** Per-query IO accounting (r11 regime fields): shuffle bytes
+    * written + spill across the tasks of a timing window. Registered
+    * once per session; [[timeOnce]] snapshots the monotone totals
+    * before and after each timed run.
+    */
+  private final class TaskIoListener extends org.apache.spark.scheduler.SparkListener {
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong()
+    val spill = new java.util.concurrent.atomic.AtomicLong()
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled): Unit
+      }
+    }
+  }
+  private val ioListener = new TaskIoListener
+  private val ioRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def ensureIoListener(spark: SparkSession): Unit =
+    if (ioRegistered.compareAndSet(false, true))
+      spark.sparkContext.addSparkListener(ioListener)
+
+  /** Suite-level regime accumulators — aggregated into the bench
+    * line's `regime` object so the committed artifact records the
+    * host weather it was measured under (r10 verdict item 4).
+    */
+  final class RegimeTotals {
+    var shuffleWriteMb: Long = 0
+    var spillMb: Long = 0
+    var utimeMs: Long = 0
+    var stimeMs: Long = 0
+    var iowaitTicks: Long = 0
+    var hostTicks: Long = 0
+    var gcMs: Long = 0
+    def sysShare: Double =
+      if (utimeMs + stimeMs <= 0) -1 else stimeMs.toDouble / (utimeMs + stimeMs)
+    def iowaitShare: Double =
+      if (hostTicks <= 0) -1 else iowaitTicks.toDouble / hostTicks
+    def json: String =
+      s"""{"shuffle_write_mb":$shuffleWriteMb,"spill_mb":$spillMb,""" +
+        f""""sys_share":$sysShare%.3f,"host_iowait_share":$iowaitShare%.3f,""" +
+        s""""gc_sec":${gcMs / 1000}}"""
+  }
+
+  private def regimeLine(line: String): Unit =
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_regime.jsonl"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Throwable => () }
+
   private def probeLine(line: String): Unit =
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_probe.jsonl"),
@@ -75,9 +130,17 @@ private[graft] object BenchKernel {
   }
 
   /** One timed execution with the full between-timing hygiene;
-    * −1.0 on failure.
+    * −1.0 on failure. Every timing appends one regime row (shuffle
+    * write, spill, process sys-time share, host iowait share, GC) to
+    * `bench_regime.jsonl` and, when `totals` is given, accumulates
+    * the same deltas for the suite line's `regime` object.
     */
-  def timeOnce(spark: SparkSession, sfDir: String, name: String): Double = {
+  def timeOnce(
+      spark: SparkSession,
+      sfDir: String,
+      name: String,
+      totals: RegimeTotals = null): Double = {
+    ensureIoListener(spark)
     // queries that persist() intermediates (q53 clusters/bandRows)
     // register them in the plan-canonicalized CacheManager — without
     // this the repeat run reads round-1 caches and times nothing
@@ -89,9 +152,36 @@ private[graft] object BenchKernel {
     System.gc()
     settleScratch(spark)
     val before = if (probe) graft.tools.JvmProbe.snapshot(spark) else Nil
+    val cpu0 = graft.tools.JvmProbe.cpuTimes.toMap
+    val gc0 = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+    val sw0 = ioListener.shuffleWrite.get()
+    val sp0 = ioListener.spill.get()
     val t0 = System.nanoTime()
     val ok = try { exec(spark, sfDir, name); true } catch { case _: Throwable => false }
     val dt = (System.nanoTime() - t0) / 1e9
+    val cpu1 = graft.tools.JvmProbe.cpuTimes.toMap
+    val gc1 = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+    val swMb = (ioListener.shuffleWrite.get() - sw0) / (1 << 20)
+    val spMb = (ioListener.spill.get() - sp0) / (1 << 20)
+    def d(k: String): Long =
+      if (cpu0(k) < 0 || cpu1(k) < 0) -1 else cpu1(k) - cpu0(k)
+    val (du, ds) = (d("proc_utime_ms"), d("proc_stime_ms"))
+    val (dio, dtot) = (d("host_iowait_ticks"), d("host_total_ticks"))
+    val sysShare = if (du + ds <= 0) -1.0 else ds.toDouble / (du + ds)
+    val ioShare = if (dtot <= 0) -1.0 else dio.toDouble / dtot
+    regimeLine(s"""{"q":"$name","ok":$ok,"sec":${f"$dt%.3f"},""" +
+      s""""shuffle_write_mb":$swMb,"spill_mb":$spMb,""" +
+      f""""sys_share":$sysShare%.3f,"host_iowait_share":$ioShare%.3f,""" +
+      s""""gc_ms":${gc1 - gc0}}""")
+    if (totals != null && ok) {
+      totals.shuffleWriteMb += swMb
+      totals.spillMb += spMb
+      if (du >= 0) { totals.utimeMs += du; totals.stimeMs += ds }
+      if (dtot >= 0) { totals.iowaitTicks += dio; totals.hostTicks += dtot }
+      totals.gcMs += gc1 - gc0
+    }
     if (probe) {
       val after = graft.tools.JvmProbe.snapshot(spark)
       probeLine(s"""{"q":"$name","ok":$ok,"sec":${f"$dt%.3f"},""" +
@@ -126,7 +216,8 @@ object Bench {
     try BenchKernel.exec(spark, sfDir, "q06_forecast_revenue")
     catch { case _: Throwable => () }
 
-    def timeOnce(name: String): Double = BenchKernel.timeOnce(spark, sfDir, name)
+    val regime = new BenchKernel.RegimeTotals
+    def timeOnce(name: String): Double = BenchKernel.timeOnce(spark, sfDir, name, regime)
     // SPARK_GRAFT_RUNS=1 drops the repeat/min methodology — for long
     // large-SF artifact runs (100× replicas) where each query is tens
     // of seconds, proportional host noise is small and a second pass
@@ -167,7 +258,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    // regime: the aggregate host-weather fields for THIS artifact
+    // (per-query rows live in bench_regime.jsonl); ~110 chars, inside
+    // the driver's stdout-tail parse budget
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"regime":${regime.json},"sf":"$sfDir"}"""
     // Durable copy for humans/tools that miss the stdout tail.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_last.json"),

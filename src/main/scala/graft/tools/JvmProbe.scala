@@ -45,7 +45,33 @@ object JvmProbe {
       "mem_store_mb" -> org.apache.spark.graft.SparkStateProbe.memoryStoreBytes(sc) / (1 << 20),
       "rdd_blocks" -> rddBlocks.toLong,
       "broadcast_blocks" -> bcBlocks.toLong,
-      "other_blocks" -> otherBlocks.toLong)
+      "other_blocks" -> otherBlocks.toLong) ++ cpuTimes
+  }
+
+  /** Process user/system CPU and host iowait/total — the regime
+    * counters (r10 verdict item: the measurement regime lived in
+    * prose; now each bench row carries the sys-time share and iowait
+    * share of its own window). Ticks are converted at the canonical
+    * USER_HZ=100; consumers only ever use deltas and RATIOS of these,
+    * so the constant cancels even where a kernel deviates.
+    */
+  def cpuTimes: Seq[(String, Long)] = {
+    val self = try {
+      val stat = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")))
+      val rest = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
+      // fields 14/15 (utime/stime) land at rest(11)/rest(12): rest(0)
+      // is field 3
+      Seq("proc_utime_ms" -> rest(11).toLong * 10,
+        "proc_stime_ms" -> rest(12).toLong * 10)
+    } catch { case _: Throwable => Seq("proc_utime_ms" -> -1L, "proc_stime_ms" -> -1L) }
+    val host = try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+").drop(1).map(_.toLong)
+      Seq("host_iowait_ticks" -> cpu(4), "host_total_ticks" -> cpu.sum)
+    } catch { case _: Throwable =>
+      Seq("host_iowait_ticks" -> -1L, "host_total_ticks" -> -1L) }
+    self ++ host
   }
 
   def jsonObject(snap: Seq[(String, Long)]): String =
