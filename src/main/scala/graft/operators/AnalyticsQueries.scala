@@ -475,17 +475,29 @@ object AnalyticsQueries {
         |  CAST(n AS BIGINT) AS n,
         |  CAST((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS REAL) AS corr_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      val x = col("l_quantity").cast(DecimalType(12, 2))
-      val y = col("l_extendedprice").cast(DecimalType(18, 2))
+      // scaled-long fast path (the q01/q66 pattern, applied r11): the
+      // moment products ran as per-row BigDecimal multiplies —
+      // Decimal.* always round-trips through java.math regardless of
+      // compactness — and q85's 100× floor was that interpreter tax,
+      // not the scan. Cents as primitive longs: per-row products fit
+      // long with room (qty ≤ 5e3 cents, price ≤ ~1.1e7 cents →
+      // products ≤ 1.2e14), the SUMS ride Decimal(38,0) (compact
+      // long-add fast path; exact at any corpus size), and the final
+      // /100 and /10^4 scale shifts are exact decimal divisions
+      // (result scale 6 ≥ needed 2/4), so the doubles — and the hash
+      // — are bit-identical to the decimal-typed form they replace.
+      val xc = round(col("l_quantity") * 100).cast("long")
+      val yc = round(col("l_extendedprice") * 100).cast("long")
+      val dec38 = DecimalType(38, 0)
       Tables(s, dir).lineitem
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).cast(DoubleType).as("n"),
-          sum(x).cast(DoubleType).as("sx"),
-          sum(y).cast(DoubleType).as("sy"),
-          sum(x * y).cast(DoubleType).as("sxy"),
-          sum(x * x).cast(DoubleType).as("sxx"),
-          sum(y * y).cast(DoubleType).as("syy"))
+          (sum(xc.cast(dec38)) / 100).cast(DoubleType).as("sx"),
+          (sum(yc.cast(dec38)) / 100).cast(DoubleType).as("sy"),
+          (sum((xc * yc).cast(dec38)) / 10000).cast(DoubleType).as("sxy"),
+          (sum((xc * xc).cast(dec38)) / 10000).cast(DoubleType).as("sxx"),
+          (sum((yc * yc).cast(dec38)) / 10000).cast(DoubleType).as("syy"))
         // final REAL cast: the a·b − c·d double combination is 1-ulp
         // engine-sensitive (FMA/association — observed at sf0.001)
         .select(col("l_returnflag"),
