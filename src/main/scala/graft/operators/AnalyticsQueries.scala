@@ -155,12 +155,30 @@ object AnalyticsQueries {
         |ORDER BY l_orderkey, l_linenumber, measure, val""".stripMargin) { (s, dir) =>
       // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
       // val joins the sort key so ties order identically in both engines.
-      Tables(s, dir).lineitem.unpivot(
-        ids = Array(col("l_orderkey"), col("l_linenumber")),
-        values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
-        variableColumnName = "measure",
-        valueColumnName = "val")
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"), col("val"))
+      //
+      // Exchange BEFORE the 3× expansion (r11): a plain
+      // unpivot-then-orderBy range-shuffles 180M expanded rows — q48
+      // was the suite's most weather-exposed shuffle writer (2.3 GB).
+      // Range-partitioning the 60M SOURCE rows on the leading sort
+      // keys moves a third of the bytes; the expansion happens after
+      // the exchange and the full four-key sort runs within
+      // partitions. Output order is byte-identical: the range
+      // partitioner sends equal (l_orderkey, l_linenumber) keys to
+      // one partition, so partition concatenation under the
+      // within-partition (key, measure, val) sort IS the global
+      // order — duplicate source keys merge correctly because they
+      // sort together locally.
+      Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .repartitionByRange(col("l_orderkey"), col("l_linenumber"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          variableColumnName = "measure",
+          valueColumnName = "val")
+        .sortWithinPartitions(
+          col("l_orderkey"), col("l_linenumber"), col("measure"), col("val"))
     },
 
     // ------------------------------------------------------------------
