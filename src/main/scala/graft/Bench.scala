@@ -64,10 +64,15 @@ private[graft] object BenchKernel {
     }
   }
   private val ioListener = new TaskIoListener
-  private val ioRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
-  private def ensureIoListener(spark: SparkSession): Unit =
-    if (ioRegistered.compareAndSet(false, true))
-      spark.sparkContext.addSparkListener(ioListener)
+  // keyed to the CONTEXT, not a one-shot boolean: a second session in
+  // the same JVM (tools, specs) must re-register on its own bus or
+  // every regime row would silently read zero deltas
+  private val ioContext =
+    new java.util.concurrent.atomic.AtomicReference[org.apache.spark.SparkContext](null)
+  private def ensureIoListener(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    if (ioContext.getAndSet(sc) ne sc) sc.addSparkListener(ioListener)
+  }
 
   /** Suite-level regime accumulators — aggregated into the bench
     * line's `regime` object so the committed artifact records the
@@ -97,6 +102,15 @@ private[graft] object BenchKernel {
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Throwable => () }
+
+  /** Start a fresh regime sidecar for this invocation — the file
+    * records ONE suite/session, not an append-forever mixture of every
+    * ad-hoc run since the last manual reset.
+    */
+  def resetRegimeLog(): Unit =
+    try java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get("bench_regime.jsonl")): Unit
     catch { case _: Throwable => () }
 
   private def probeLine(line: String): Unit =
@@ -160,6 +174,9 @@ private[graft] object BenchKernel {
     val t0 = System.nanoTime()
     val ok = try { exec(spark, sfDir, name); true } catch { case _: Throwable => false }
     val dt = (System.nanoTime() - t0) / 1e9
+    // the listener bus is async: drain it so the window's last tasks'
+    // shuffle/spill bytes land in THIS query's row, not the next one's
+    org.apache.spark.graft.SparkStateProbe.drainListenerBus(spark.sparkContext)
     val cpu1 = graft.tools.JvmProbe.cpuTimes.toMap
     val gc1 = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).sum
@@ -207,6 +224,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = BenchKernel.buildSession()
+    BenchKernel.resetRegimeLog()
 
     // optional comma-separated subset for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
@@ -292,6 +310,7 @@ object BenchServe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = BenchKernel.buildSession()
+    BenchKernel.resetRegimeLog()
     try BenchKernel.exec(spark, sfDir, "q06_forecast_revenue")
     catch { case _: Throwable => () }
     println("""{"ready":true}""")

@@ -597,9 +597,10 @@ object AnalyticsQueries {
       // fact (the r11 fusion — the r10 form re-scanned lineitem and
       // re-exchanged full rows for the second median):
       //   - small tier (counted/stats ≤ the sort-selection
-      //     crossover): both adaptive selections consume one CACHED
-      //     4-column projection — pass 2's deviations derive from the
-      //     cache, not a second parquet scan;
+      //     crossover): both adaptive selections consume the same
+      //     4-column projection, deliberately UNCACHED — the pruned
+      //     parquet re-scan measured cheaper than persist at this
+      //     size (numbers at the tier branch below);
       //   - large tier: pass 1 aggregates the fact to its distinct
       //     (flag, price) count table — the ONLY fact-sized exchange
       //     in the whole query — and pass 2's (flag, |price−med|)

@@ -211,9 +211,24 @@ object ConnectedComponents {
     * chains, cliques, random graphs, and both sides of the bound), so
     * a misjudged bound costs only constants, never bytes.
     */
+  /** Both fast tiers (driver union-find, local contraction) widen ids
+    * through LongType, which is only lossless for integral id types;
+    * exotic id types (the contract is merely "orderable with min")
+    * must stay on the generic star loop rather than be silently
+    * corrupted by the cast.
+    */
+  private def integralIds(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.types._
+    df.schema.fields.take(2).forall(f => f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+  }
+
   def runAdaptive(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val Seq(ca, cb) = edges.columns.toSeq.take(2)
     val sel = edges.select(col(ca).as("a"), col(cb).as("b"))
+    if (!integralIds(sel)) return runAlternating(edges, maxIter)
     val statsBytes = sel.queryExecution.optimizedPlan.stats.sizeInBytes
     val probed =
       if (statsBytes <= SmallEdgeStatsBytes) {
@@ -499,9 +514,13 @@ object ConnectedComponents {
       // the contraction runs INSIDE this checkpoint's job (one
       // materialization); the distinct canonicalizes the rare
       // cross-partition duplicate forest edges and lays the loop
-      // input out at the TightLoop partition count
+      // input out at the TightLoop partition count. Non-integral id
+      // types skip the contraction (its long widening would corrupt
+      // them) and canonicalize the raw pairs directly.
+      val loopInput =
+        if (integralIds(raw)) localContract(raw) else raw
       val canon = checkpointWithFingerprint(
-        localContract(raw).filter(col("a") =!= col("b")).distinct())
+        loopInput.filter(col("a") =!= col("b")).distinct())
       var e = canon._1
       var prev = canon._2
       var converged = prev._1 == 0L

@@ -350,6 +350,9 @@ object DistributedRank {
       outTotal: String = "",
       maxDriverRows: Int = DefaultMaxDriverRows): DataFrame = {
     val spark = vc.sparkSession
+    require(cntCol == "__cnt" || !vc.columns.contains("__cnt"),
+      s"valuesAtRanksFromCounts: renaming $cntCol would collide with an " +
+        "existing __cnt column — drop or rename it first")
     val vcc = if (cntCol == "__cnt") vc else vc.withColumnRenamed(cntCol, "__cnt")
     val totsDf = vcc.groupBy(groupCols.map(col): _*).agg(sum(col("__cnt")).as("__tot"))
     val tots = collectBounded(totsDf, maxDriverRows, "valuesAtRanksFromCounts")

@@ -104,7 +104,6 @@ object FlightScaleBench {
     val spark = GraftSession.local(appName = "flight-scale-bench")
     import spark.implicits._
     val base = "/tmp/flight_scale"
-    org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)

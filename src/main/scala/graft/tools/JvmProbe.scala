@@ -66,8 +66,11 @@ object JvmProbe {
         "proc_stime_ms" -> rest(12).toLong * 10)
     } catch { case _: Throwable => Seq("proc_utime_ms" -> -1L, "proc_stime_ms" -> -1L) }
     val host = try {
+      // first 8 fields only (user..steal): guest/guest_nice are
+      // already included inside user/nice, and summing them would
+      // double-count VM time and bias the iowait share low
       val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
-        .next().trim.split("\\s+").drop(1).map(_.toLong)
+        .next().trim.split("\\s+").drop(1).take(8).map(_.toLong)
       Seq("host_iowait_ticks" -> cpu(4), "host_total_ticks" -> cpu.sum)
     } catch { case _: Throwable =>
       Seq("host_iowait_ticks" -> -1L, "host_total_ticks" -> -1L) }

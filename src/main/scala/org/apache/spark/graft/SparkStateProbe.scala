@@ -22,6 +22,18 @@ object SparkStateProbe {
   def localDirs(sc: SparkContext): Seq[File] =
     sc.env.blockManager.diskBlockManager.localDirs.toSeq
 
+  /** Block until the async listener bus has delivered everything
+    * posted so far (bounded by `timeoutMs`). Task-metrics listeners
+    * (the bench's per-query IO accounting) otherwise race the reader:
+    * the last tasks' events can still sit on the bus when the timed
+    * action returns, leaking one query's shuffle bytes into the next
+    * query's regime row. Spark's own test suites use this same
+    * waitUntilEmpty.
+    */
+  def drainListenerBus(sc: SparkContext, timeoutMs: Long = 10000L): Unit =
+    try sc.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: Throwable => () }
+
   /** (file count, total bytes) under the scratch dirs. */
   def diskUsage(sc: SparkContext): (Long, Long) = {
     var files = 0L

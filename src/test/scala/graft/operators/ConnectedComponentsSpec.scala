@@ -128,6 +128,17 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(viaStar == want)
   }
 
+  test("non-integral ids skip the long-widening tiers and stay exact") {
+    // the driver tier and the contraction pre-pass widen through
+    // LongType; fractional ids must route around both, not truncate
+    val edges = Seq((1.5, 2.5), (2.5, 3.5), (10.25, 10.25)).toDF("a", "b")
+    val want = Map(1.5 -> 1.5, 2.5 -> 1.5, 3.5 -> 1.5, 10.25 -> 10.25)
+    assert(ConnectedComponents.runAdaptive(edges)
+      .as[(Double, Double)].collect().toMap == want)
+    assert(ConnectedComponents.runAlternating(edges)
+      .as[(Double, Double)].collect().toMap == want)
+  }
+
   test("adaptive on empty edges yields empty labeling") {
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(ConnectedComponents.runAdaptive(edges).count() == 0L)
