@@ -99,8 +99,6 @@ object ScanBudgets {
     "q86_unigram_logprob" -> Map("documents" -> 3),
     // GK sketch leg + exact percentile gate leg
     "q89_percentile_sketch" -> Map("lineitem" -> 2),
-    // MAD needs the median model before deviations can be scored
-    "q95_mad_robust" -> Map("lineitem" -> 2),
     // bloom build over train split + probe pass + survivor projection
     "q99_bloom_decontam" -> Map("documents" -> 3),
     "q72_decontamination" -> Map("documents" -> 3),

@@ -503,7 +503,13 @@ object AnalyticsQueries {
       // long-add fast path; exact at any corpus size), and the final
       // /100 and /10^4 scale shifts are exact decimal divisions
       // (result scale 6 ≥ needed 2/4), so the doubles — and the hash
-      // — are bit-identical to the decimal-typed form they replace.
+      // — are bit-identical to the decimal-typed form they replace
+      // FOR CENT-REPRESENTABLE INPUTS (doubles that round-trip
+      // to ≤2 decimal places, the money-column contract both corpora
+      // honor — verified 0 mismatches vs the decimal path on the
+      // shipped data). A true half-cent double (shortest repr e.g.
+      // 0.285) would diverge: round(0.285·100)=28 vs decimal
+      // HALF_UP 29 — sub-cent inputs must take the decimal cast.
       val xc = round(col("l_quantity") * 100).cast("long")
       val yc = round(col("l_extendedprice") * 100).cast("long")
       val dec38 = DecimalType(38, 0)
@@ -593,85 +599,23 @@ object AnalyticsQueries {
         |  CAST(quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS REAL) AS mad
         |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
         |GROUP BY l.l_returnflag, m.med ORDER BY l.l_returnflag""".stripMargin) { (s, dir) =>
-      // interpolated p50 per l_returnflag, cascaded ONCE over the
-      // fact (the r11 fusion — the r10 form re-scanned lineitem and
-      // re-exchanged full rows for the second median):
-      //   - small tier (counted/stats ≤ the sort-selection
-      //     crossover): both adaptive selections consume the same
-      //     4-column projection, deliberately UNCACHED — the pruned
-      //     parquet re-scan measured cheaper than persist at this
-      //     size (numbers at the tier branch below);
-      //   - large tier: pass 1 aggregates the fact to its distinct
-      //     (flag, price) count table — the ONLY fact-sized exchange
-      //     in the whole query — and pass 2's (flag, |price−med|)
-      //     count table derives from THAT table by arithmetic +
-      //     re-aggregation (counts merge where two prices fold onto
-      //     one deviation), so the second selection exchanges
-      //     distinct-value rows, never fact rows
-      //     ([[DistributedRank.valuesAtRanksFromCounts]]). Both
-      //     cascaded shuffles stay bounded by distinct values —
-      //     replica-invariant at 100 TB.
-      // The lineitem row count from the first dispatch sizes the
-      // second selection too (the broadcast inner join on
-      // l_returnflag preserves row count), so the derived frame is
-      // never recounted.
-      def medianRanks(n: Long): Seq[Long] = {
-        val hp = (n - 1) * 0.5
-        Seq(math.floor(hp).toLong + 1, math.ceil(hp).toLong + 1)
-      }
-      def interp(hits: org.apache.spark.sql.DataFrame, v: String, out: String) = {
-        val h = (col("n") - 1).cast(DoubleType) * lit(0.5)
-        val lo = min(when(col("rn") === floor(h).cast("long") + 1, col(v)))
-        val hi = min(when(col("rn") === ceil(h).cast("long") + 1, col(v)))
-        hits
-          .groupBy(col("l_returnflag"))
-          .agg((lo + (max(h) - floor(max(h))) * (hi - lo)).as(out))
-      }
-      val li = Tables(s, dir).lineitem
-        .select(col("l_returnflag"), col("l_extendedprice"),
-          col("l_orderkey"), col("l_linenumber"))
-      val n0 = DistributedRank.dispatchRows(li) // stats-only at small SF
-      val (meds, mads) =
-        if (n0 <= DistributedRank.SortSelectionMaxRows) {
-          // NOT cached: measured 3.1–3.4 s uncached vs 3.7–3.8 s
-          // persisted at sf0.1 (same weather window, min-of-2 pairs) —
-          // at small-tier sizes the column-pruned parquet re-scan is
-          // cheaper than the cache write+read, the same r7→r8 persist
-          // result scopedIfLarge encodes; the large tier below is
-          // where the single-fact-pass fusion matters
-          val base = li
-          val m = interp(DistributedRank.valuesAtRanksAdaptive(base,
-            Seq("l_returnflag"), "l_extendedprice",
-            Seq("l_orderkey", "l_linenumber"), medianRanks, "rn",
-            outTotal = "n", totalRows = n0), "l_extendedprice", "med")
-          val devs = base.join(broadcast(m), "l_returnflag")
-            .withColumn("dev", abs(col("l_extendedprice") - col("med")))
-            .select(col("l_returnflag"), col("dev"),
-              col("l_orderkey"), col("l_linenumber"))
-          val d = interp(DistributedRank.valuesAtRanksAdaptive(devs,
-            Seq("l_returnflag"), "dev", Seq("l_orderkey", "l_linenumber"),
-            medianRanks, "rn", outTotal = "n", totalRows = n0), "dev", "mad")
-          (m, d)
-        } else {
-          val vc = CacheScope.scoped(
-            li.groupBy(col("l_returnflag"), col("l_extendedprice"))
-              .agg(count(lit(1)).as("__cnt")))
-          val m = interp(DistributedRank.valuesAtRanksFromCounts(vc,
-            Seq("l_returnflag"), "l_extendedprice", "__cnt", medianRanks,
-            "rn", outTotal = "n"), "l_extendedprice", "med")
-          val vcDev = CacheScope.scoped(
-            vc.join(broadcast(m), "l_returnflag")
-              .select(col("l_returnflag"),
-                abs(col("l_extendedprice") - col("med")).as("dev"),
-                col("__cnt"))
-              .groupBy(col("l_returnflag"), col("dev"))
-              .agg(sum(col("__cnt")).as("__cnt")))
-          val d = interp(DistributedRank.valuesAtRanksFromCounts(vcDev,
-            Seq("l_returnflag"), "dev", "__cnt", medianRanks,
-            "rn", outTotal = "n"), "dev", "mad")
-          (m, d)
-        }
-      meds.join(mads, "l_returnflag")
+      // the whole MAD cascade is ONE kernel over the distinct
+      // (flag, price) count table ([[DistributedRank.medianMad]],
+      // r12): the only fact scan and the only fact-sized exchange is
+      // the map-side-combined groupBy building that table; the
+      // cascade then runs on the driver when the table limit-collects
+      // under 1M rows (one Spark job for the whole query — the r11
+      // form paid 4 jobs of range-exchange + carrier machinery and
+      // read 4 columns for tiebreaks a value-domain selection never
+      // needs), and falls back to the distributed
+      // valuesAtRanksFromCounts cascade (both selections bounded by
+      // distinct values, never rows) on wider value domains. Under
+      // replica scaling the count table is invariant, so the driver
+      // tier keeps firing at 100×.
+      DistributedRank.medianMad(
+        Tables(s, dir).lineitem
+          .select(col("l_returnflag"), col("l_extendedprice")),
+        "l_returnflag", "l_extendedprice")
         .select(col("l_returnflag"),
           col("med").cast("float").as("med"),
           col("mad").cast("float").as("mad"))

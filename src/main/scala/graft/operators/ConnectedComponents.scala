@@ -158,14 +158,21 @@ object ConnectedComponents {
     * that materialization gives for free is strictly better than the
     * stats-first probe the rank kernels use.
     */
-  private def materializeEdges(edges: DataFrame): (DataFrame, Long) = {
+  private def materializeEdges(edges: DataFrame): (DataFrame, Long, Long) = {
     val Seq(ca, cb) = edges.columns.toSeq.take(2)
     val rawObs = org.apache.spark.sql.Observation()
     val raw = edges
       .select(col(ca).as("a"), col(cb).as("b"))
-      .observe(rawObs, count(lit(1)).as("n"))
+      .observe(rawObs,
+        count(lit(1)).as("n"),
+        // self-loop census rides the same materialization: the
+        // join-free label emit below covers every node incident to a
+        // NON-self edge; a self-loop-only node is only labeled by the
+        // nodes-frame path, so its presence (rare; zero on every
+        // shipped pipeline) picks the emit strategy
+        coalesce(sum(when(col(ca) === col(cb), 1L)), lit(0L)).as("sl"))
       .localCheckpoint()
-    (raw, rawObs.get("n").asInstanceOf[Long])
+    (raw, rawObs.get("n").asInstanceOf[Long], rawObs.get("sl").asInstanceOf[Long])
   }
 
   /** Edge-count bound for the driver union-find tier of
@@ -237,9 +244,16 @@ object ConnectedComponents {
         else None // stats under-estimated: fall through, pay one re-scan
       } else None
     probed.getOrElse {
-      val (raw, rawCount) = materializeEdges(sel)
-      if (rawCount <= MaxDriverEdges) driverUnionFind(raw, rawCount)
-      else alternatingFrom(raw, rawCount, maxIter)._1
+      // ONE materialization job: the caller's pair plan runs straight
+      // into the per-partition contraction (r12 fusion — the r11 form
+      // checkpointed the raw 2-column list, then read it back for a
+      // contraction + distinct round-trip). Dispatch is on the
+      // CONTRACTED count (≤ min(edges, nodes)): the driver tier
+      // collects star edges the cluster already forested, so the
+      // bound stays a driver-memory bound while more graphs qualify.
+      val (canon0, cCount) = materializeContracted(sel)
+      if (cCount <= MaxDriverEdges) driverUnionFind(canon0, cCount)
+      else alternatingFromContracted(canon0, cCount, maxIter)._1
     }
   }
 
@@ -276,13 +290,20 @@ object ConnectedComponents {
   /** One partition's spanning forest by union-find with path halving:
     * consumes the partition's edges, emits (node, local-min-root) for
     * every node that is not its own root — star edges, ≤ one per
-    * distinct node, never more rows than came in. Serializable
-    * top-level function (it ships inside the mapPartitions closure).
+    * distinct node, never more rows than came in. A node whose ONLY
+    * incidence in this partition is a self-loop is emitted as an
+    * explicit (x, x) marker row: the downstream label emit needs every
+    * incident node on SOME surviving row, and the a≠b filters would
+    * otherwise drop self-loop-only nodes silently (the r12 fusion —
+    * markers replace the raw-scan `nodes` frame entirely).
+    * Serializable top-level function (it ships inside the
+    * mapPartitions closure).
     */
   private def partitionForest(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
     val idx = new scala.collection.mutable.LongMap[Int]()
     val ids = new scala.collection.mutable.ArrayBuffer[Long]()
     val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+    val selfLooped = new scala.collection.mutable.BitSet()
     def nodeOf(x: Long): Int = idx.getOrElseUpdate(x, {
       ids += x; parent += ids.length - 1; ids.length - 1
     })
@@ -293,16 +314,21 @@ object ConnectedComponents {
     }
     while (it.hasNext) {
       val (a, b) = it.next()
-      val ra = find(nodeOf(a))
-      val rb = find(nodeOf(b))
-      if (ra != rb) {
-        // min-ID root: insertion order ≠ id order, so compare ids
-        if (ids(ra) < ids(rb)) parent(rb) = ra else parent(ra) = rb
+      if (a == b) selfLooped += nodeOf(a)
+      else {
+        val ra = find(nodeOf(a))
+        val rb = find(nodeOf(b))
+        if (ra != rb) {
+          // min-ID root: insertion order ≠ id order, so compare ids
+          if (ids(ra) < ids(rb)) parent(rb) = ra else parent(ra) = rb
+        }
       }
     }
     Iterator.range(0, ids.length).flatMap { i =>
       val r = find(i)
-      if (r == i) None else Some((ids(i), ids(r)))
+      if (r != i) Some((ids(i), ids(r)))
+      else if (selfLooped(i)) Some((ids(i), ids(i))) // self-loop marker
+      else None
     }
   }
 
@@ -356,25 +382,90 @@ object ConnectedComponents {
       else if (rb < ra) parent(ra) = rb
       e += 1
     }
-    val rows = new java.util.ArrayList[Row](n)
+    // encoder emit, ids ascending (= node order): the tuple encoder
+    // codegen-serializes the driver array where the Row path paid a
+    // per-row CatalystTypeConverters walk — measured ~2× on the
+    // 150k-label sf0.1 emit (ProbeQ91)
+    val out = new Array[(Long, Long)](n)
     var x = 0
-    while (x < n) { rows.add(Row(ids(x), ids(find(x)))); x += 1 }
-    val schema = StructType(Seq(
-      StructField("node", LongType, nullable = false),
-      StructField("label", LongType, nullable = false)))
-    spark.createDataFrame(rows, schema)
+    while (x < n) { out(x) = (ids(x), ids(find(x))); x += 1 }
+    import spark.implicits._
+    spark.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+      .toDF("node", "label")
       .select(col("node").cast(nodeType).as("node"),
         col("label").cast(nodeType).as("label"))
   }
 
   /** [[runAlternating]] plus rounds executed (expected O(log n)). */
   def runAlternatingWithRounds(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
-    val (raw, rawCount) = materializeEdges(edges)
-    alternatingFrom(raw, rawCount, maxIter)
+    val Seq(ca, cb) = edges.columns.toSeq.take(2)
+    val sel = edges.select(col(ca).as("a"), col(cb).as("b"))
+    if (integralIds(sel)) {
+      val (canon0, cCount) = materializeContracted(sel)
+      alternatingFromContracted(canon0, cCount, maxIter)
+    } else {
+      val (raw, rawCount, selfLoops) = materializeEdges(sel)
+      alternatingFrom(raw, rawCount, selfLoops, maxIter)
+    }
   }
 
+  /** Materialize the caller's pair plan STRAIGHT INTO the local-
+    * contraction pre-pass — one job, one scan of the (possibly
+    * expensive) pair pipeline, and the checkpoint holds the
+    * per-partition star forest instead of the raw list (r12: the r11
+    * flow checkpointed raw, then paid a second pass + a distinct
+    * exchange to contract it). The contracted count (≤ min(edges,
+    * nodes), observed free on the materialization) is the dispatch
+    * and loop-sizing cardinality. Contraction preserves connectivity
+    * exactly (a spanning forest of each partition's edge subset keeps
+    * the union's components) and self-loop-only nodes survive as
+    * explicit (x, x) marker rows (see [[partitionForest]]), so no
+    * raw-list consumer remains. Integral ids only — the long widening
+    * inside the contraction would corrupt exotic id types.
+    */
+  private def materializeContracted(sel: DataFrame): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val canon0 = localContract(sel)
+      .observe(obs, count(lit(1)).as("n"))
+      .localCheckpoint()
+    (canon0, obs.get("n").asInstanceOf[Long])
+  }
+
+  /** Local-contraction pre-pass (r11): per-partition union-find over
+    * the edges each task already holds, emitting that partition's
+    * spanning forest as (node, partition-local min-root) star edges —
+    * a NARROW pass (no shuffle; output ≤ input rows) that collapses
+    * every path living inside one partition before the first star
+    * round ever shuffles. Converges the loop in 0–1 rounds when edges
+    * arrive co-partitioned by their natural key (q91's per-customer
+    * chains ride the orders window's custkey hash) and degrades to
+    * the uncontracted round count — never worse — when edges are
+    * scattered. This is the per-partition imperative tier
+    * mapPartitions exists for: the same local-contraction step the
+    * MapReduce-CC literature runs before alternation (Kiveris et al.
+    * §6 "optimizations").
+    */
+  private def localContract(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val nodeType = nodeIdType(e)
+    e.select(col("a").cast(LongType).as("a"), col("b").cast(LongType).as("b"))
+      .as[(Long, Long)]
+      .mapPartitions(partitionForest _)
+      .toDF("a", "b")
+      .select(col("a").cast(nodeType).as("a"), col("b").cast(nodeType).as("b"))
+  }
+
+  /** The alternating loop over an already-contracted, checkpointed
+    * star-edge set (self-loop markers included): certify-or-iterate.
+    */
+  private def alternatingFromContracted(
+      canon0: DataFrame, cCount: Long, maxIter: Int): (DataFrame, Int) =
+    alternatingFrom(canon0, cCount, selfLoops = 0L, maxIter, contracted = true)
+
   private def alternatingFrom(
-      raw: DataFrame, rawCount: Long, maxIter: Int): (DataFrame, Int) = {
+      raw: DataFrame, rawCount: Long, selfLoops: Long, maxIter: Int,
+      contracted: Boolean = false): (DataFrame, Int) = {
     // NO Union operators anywhere below: a Union whose children share
     // lineage (self-union) or sit over a checkpointed plan with
     // preserved constraints trips Catalyst's
@@ -382,42 +473,23 @@ object ConnectedComponents {
     // real-world input plans. explode(array(struct…)) emits the same
     // rows with identical shuffle volume and no constraint rewrite.
 
-    // All incident nodes (kept aside: the star loop drops self-loops,
-    // but a node whose only edge is a self-loop must still be labeled;
-    // local contraction likewise drops nodes isolated within their
-    // partition's forest).
-    val nodes = raw
-      .select(explode(array(col("a"), col("b"))).as("node"))
-      .distinct()
-      .persist()
-
-    // Local-contraction pre-pass (r11): per-partition union-find over
-    // the edges each task already holds, emitting that partition's
-    // spanning forest as (node, partition-local min-root) star edges —
-    // a NARROW pass (no shuffle; output ≤ input rows) that collapses
-    // every path living inside one partition before the first star
-    // round ever shuffles. Connectivity is preserved exactly (a
-    // spanning forest of each edge subset keeps the union's
-    // components), and the output is already star-shaped, so the loop
-    // that follows converges in 1–2 rounds when edges arrive
-    // co-partitioned by their natural key (q91's per-customer chains
-    // ride the orders window's custkey hash: measured 12 → 1 round,
-    // 52.3 → 15.5 s warm / 70.9 → 36.6 s cold at 100×, ProbeIterative)
-    // and degrades to the uncontracted round count — never worse —
-    // when edges are scattered. This is the
-    // per-partition imperative tier mapPartitions exists for: the
-    // same local-contraction step the MapReduce-CC literature runs
-    // before alternation (Kiveris et al. §6 "optimizations").
-    def localContract(e: DataFrame): DataFrame = {
-      val spark = e.sparkSession
-      import spark.implicits._
-      val nodeType = nodeIdType(e)
-      e.select(col("a").cast(LongType).as("a"), col("b").cast(LongType).as("b"))
-        .as[(Long, Long)]
-        .mapPartitions(partitionForest _)
-        .toDF("a", "b")
-        .select(col("a").cast(nodeType).as("a"), col("b").cast(nodeType).as("b"))
-    }
+    // All incident nodes — built ONLY on the uncontracted (exotic-id)
+    // path when the input carries self-loops (observed free at
+    // materialization): the star loop drops self-loops, so a node
+    // whose only edge is a self-loop must be labeled from the RAW
+    // list via this frame. The contracted path carries (x, x) marker
+    // rows instead, and self-loop-free inputs (every shipped
+    // pipeline) take the join-free emit at the bottom — the nodes
+    // frame was a full explode+distinct exchange over 2× the edges,
+    // paid only to re-derive node ids the fixpoint star forest
+    // already carries (r12 round-constant cut).
+    val nodes =
+      if (!contracted && selfLoops > 0)
+        Some(raw
+          .select(explode(array(col("a"), col("b"))).as("node"))
+          .distinct()
+          .persist())
+      else None
 
     // Each star needs min-over-neighborhood joined back onto every
     // edge of the neighborhood. A groupBy+join does that in two
@@ -478,6 +550,44 @@ object ConnectedComponents {
         .filter(col("a").isNotNull && col("a") =!= col("b"))
     }
 
+    // Direct fixpoint test — is `e` already a min-oriented star
+    // forest? True iff every edge points child→smaller-parent, no
+    // node is both a child and a parent, and no child has two
+    // distinct parents. ONE hash-aggregate exchange over the exploded
+    // endpoints (no window sort, no checkpoint write), where a
+    // confirmation star round costs two window exchanges plus a
+    // checkpoint — run ONCE on the contraction output, because
+    // co-partitioned edge sets (q91's per-customer chains riding the
+    // orders window's custkey hash) come out of local contraction
+    // ALREADY at fixpoint, and the loop's fingerprint can only
+    // certify that by paying a full confirm round (the r11 q91 shape:
+    // contraction + 1 round, where the round existed only to repeat
+    // the fingerprint). Scattered inputs fail the test and pay one
+    // extra cheap exchange before the normal fp loop — never a wrong
+    // answer, the test is exact in both directions.
+    def isStarForest(e: DataFrame): Boolean = {
+      val bType = e.schema("b").dataType
+      val viol = e.select(explode(array(
+          struct(col("a").as("node"), lit(1).as("c"), col("b").as("p")),
+          struct(col("b").as("node"), lit(0).as("c"),
+            lit(null).cast(bType).as("p")))).as("x"))
+        .select(col("x.node").as("node"), col("x.c").as("c"), col("x.p").as("p"))
+        .groupBy("node")
+        .agg(
+          max(col("c")).as("maxC"),
+          min(col("c")).as("minC"),
+          // two-distinct-parents via min≠max — plain min/max partial-
+          // aggregate cleanly where countDistinct would carry a
+          // per-group distinct set through the exchange
+          min(col("p")).as("pLo"),
+          max(col("p")).as("pHi"),
+          max(when(col("p") >= col("node"), 1).otherwise(0)).as("mis"))
+        .filter((col("maxC") === 1 && col("minC") === 0) ||
+          col("pLo") =!= col("pHi") || col("mis") === 1)
+        .limit(1)
+      viol.isEmpty
+    }
+
     // Multiset fingerprint: (count, sum(xxhash64(a,b))) — stable
     // across a full round exactly at the star-forest fixpoint (a
     // hash-sum collision masking a real change is negligible, and the
@@ -503,24 +613,30 @@ object ConnectedComponents {
         BigDecimal(m("h").asInstanceOf[java.math.BigDecimal])))
     }
 
+    // Certify-first (contracted path): co-partitioned edge sets come
+    // out of local contraction ALREADY at fixpoint, and the direct
+    // star-forest test proves it in one hash-aggregate exchange —
+    // where the loop's fingerprint could only certify by paying a
+    // full confirm round (two window exchanges + a checkpoint). The
+    // test runs on the marker-stripped view; markers rejoin at the
+    // emit. Scattered inputs fail the test, pay this one cheap
+    // exchange, and take the normal fingerprint loop.
+    val certified =
+      contracted && isStarForest(raw.filter(col("a") =!= col("b")))
     // The star loop runs inside a TightLoop scope (AQE off +
     // count-sized partitions): one job per round instead of AQE's
     // per-exchange scheduling round-trips — the measured iterative
     // floor (see TightLoop). The symmetric closure doubles rows,
     // hence 2× the checkpointed count.
-    val loopState = TightLoop.scoped(
+    val loopState = if (certified) (raw, 0) else TightLoop.scoped(
       raw.sparkSession,
       TightLoop.partsForRows(raw.sparkSession, 2L * rawCount)) {
-      // the contraction runs INSIDE this checkpoint's job (one
-      // materialization); the distinct canonicalizes the rare
-      // cross-partition duplicate forest edges and lays the loop
-      // input out at the TightLoop partition count. Non-integral id
-      // types skip the contraction (its long widening would corrupt
-      // them) and canonicalize the raw pairs directly.
-      val loopInput =
-        if (integralIds(raw)) localContract(raw) else raw
+      // the distinct canonicalizes duplicate edges (cross-partition
+      // duplicate forest edges on the contracted path, caller
+      // duplicates on the raw path) and lays the loop input out at
+      // the TightLoop partition count
       val canon = checkpointWithFingerprint(
-        loopInput.filter(col("a") =!= col("b")).distinct())
+        raw.filter(col("a") =!= col("b")).distinct())
       var e = canon._1
       var prev = canon._2
       var converged = prev._1 == 0L
@@ -542,14 +658,44 @@ object ConnectedComponents {
     }
     val e = loopState._1
     val iter = loopState._2
-    // Fixpoint is a star forest: every non-root points at its root.
-    // Roots (and self-loop-only nodes) label themselves via the
-    // left join's coalesce.
-    val stars = e.select(col("a").as("node"), col("b").as("label"))
-      .groupBy("node").agg(min("label").as("label"))
-    val labels = nodes.join(stars, Seq("node"), "left")
-      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
-    nodes.unpersist()
+    // Fixpoint is a star forest: every non-root points at its root,
+    // and every incident node appears on SOME fixpoint edge — so the
+    // labels fall out of `e` alone: explode each edge to (child,
+    // parent) + (parent, parent) and take min(label) per node (one
+    // partial-aggregated exchange; roots label themselves, duplicates
+    // and the pathological maxIter exit collapse under the min). The
+    // r11 form re-derived the node set from RAW via a second
+    // explode+distinct exchange and joined it back — two exchanges
+    // plus a join to recompute information the star forest already
+    // holds. Self-loop-carrying inputs keep the nodes-frame join: a
+    // self-loop-only node is on no fixpoint edge.
+    val labels = nodes match {
+      case Some(nd) =>
+        val stars = e.select(col("a").as("node"), col("b").as("label"))
+          .groupBy("node").agg(min("label").as("label"))
+        val l = nd.join(stars, Seq("node"), "left")
+          .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+        nd.unpersist()
+        l
+      case None =>
+        val pairs = e.select(explode(array(
+            struct(col("a").as("node"), col("b").as("label")),
+            struct(col("b").as("node"), col("b").as("label")))).as("p"))
+          .select(col("p.node").as("node"), col("p.label").as("label"))
+        // contracted path after a LOOP run: the loop stripped the
+        // (x, x) self-loop markers — rejoin them from the (still
+        // persisted) contraction checkpoint so self-loop-only nodes
+        // keep their self-label; min() folds nodes present on both
+        // sides. (When certified, e IS the checkpoint — markers are
+        // already aboard.) unionAll of two independent checkpointed
+        // frames is the hash-min loop's own proven shape.
+        val withMarkers =
+          if (contracted && !certified)
+            pairs.unionAll(raw.filter(col("a") === col("b"))
+              .select(col("a").as("node"), col("b").as("label")))
+          else pairs
+        withMarkers.groupBy("node").agg(min("label").as("label"))
+    }
     (labels, iter)
   }
 }

@@ -127,9 +127,17 @@ object ComponentsScale {
           when(pmod(col("id") + 1L, lit(20L)) === 0L, col("id"))
             .otherwise(col("id") + 1L).as("b"))
         .filter(col("a") =!= col("b"))
+      // (count, hash-sum of (node,label)) — a label sum alone is a
+      // weak oracle (compensating per-node label errors cancel; r11
+      // ADVICE); the xxhash64 multiset fingerprint matches the loop's
+      // own convergence-fingerprint style and pins the full mapping
       def sumLabels(df: DataFrame): String = {
-        val s = df.agg(sum(col("label"))).head().getLong(0)
-        s"labelsum=$s"
+        val r = df.agg(
+          count(lit(1)).as("n"),
+          sum(xxhash64(col("node"), col("label"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("h"))
+          .head()
+        s"n=${r.getLong(0)} labelhash=${r.getDecimal(1)}"
       }
       val (adaptive, tAdaptive) = time {
         val l = ConnectedComponents.runAdaptive(chains)

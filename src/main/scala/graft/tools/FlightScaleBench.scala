@@ -100,6 +100,12 @@ object FlightScaleBench {
 
   def main(args: Array[String]): Unit = {
     val leafRows = args.headOption.map(_.toInt).getOrElse(1465)
+    // uid = seed*2048 + i: the per-zone uid stride is 2048 wide, so a
+    // leafRows ≥ 2048 would fold one zone's uid tail onto the next
+    // zone's head — silently changing the derived-column workload
+    // (duplicate times/codes beyond the designed 10% id-dup rate)
+    require(leafRows < 2048,
+      s"leafRows=$leafRows >= the 2048 per-zone uid stride; widen the stride first")
     val outPath = args.drop(1).headOption.getOrElse("FLIGHTBENCH_r11.json")
     val spark = GraftSession.local(appName = "flight-scale-bench")
     import spark.implicits._

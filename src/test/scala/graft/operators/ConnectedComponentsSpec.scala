@@ -65,6 +65,21 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(rounds <= 15, s"expected O(log n) rounds, got $rounds")
   }
 
+  test("contraction-solved graph certifies fixpoint with zero star rounds") {
+    // single-partition input → the local-contraction pre-pass emits
+    // the complete star forest; the direct star-forest test must
+    // certify it WITHOUT paying a confirm star round (r12), and the
+    // join-free label emit must still cover every incident node
+    val n = 64L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b").coalesce(1)
+    val (labels, rounds) =
+      ConnectedComponents.runAlternatingWithRounds(edges)
+    assert(labels.as[(Long, Long)].collect().toMap ==
+      (1L to n).map(_ -> 1L).toMap)
+    assert(rounds == 0,
+      s"contraction + star-forest test should skip the loop, got $rounds rounds")
+  }
+
   test("alternating matches hash-min on a seeded random graph") {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))

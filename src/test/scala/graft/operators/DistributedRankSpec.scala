@@ -446,6 +446,40 @@ class DistributedRankSpec extends AnyFunSuite {
     graft.CacheScope.drain()
     assert(a == b)
     assert(a.size == 3)
+
+    // (c) the medianMad kernel, BOTH tiers, pinned against (a): the
+    // driver tier (count table collects under the bound) and the
+    // distributed tier (bound forced below the ~120-row count table
+    // but above every internal offset/total collect) must emit the
+    // exact same interpolated doubles as the row-level cascade.
+    val src = df.select(col("g"), col("v"))
+    val cDriver = DistributedRank.medianMad(src, "g", "v")
+      .as[(Int, Double, Double)].collect().toSet
+    graft.CacheScope.drain()
+    val cDist = DistributedRank.medianMad(src, "g", "v", maxDriverRows = 100)
+      .as[(Int, Double, Double)].collect().toSet
+    graft.CacheScope.drain()
+    assert(cDriver == a)
+    assert(cDist == a)
+  }
+
+  test("medianMad driver tier: null values rank first, null group is its own group") {
+    import spark.implicits._
+    // null-heavy group x: median lands on nulls -> null med/mad; group
+    // y: clean odd count; the null GROUP gets its own row
+    val df = Seq[(Option[String], Option[Double])](
+      (Some("x"), None), (Some("x"), None), (Some("x"), None),
+      (Some("x"), Some(4.0)),
+      (Some("y"), Some(1.0)), (Some("y"), Some(5.0)), (Some("y"), Some(9.0)),
+      (None, Some(2.0)), (None, Some(4.0)))
+      .toDF("g", "v")
+    val got = DistributedRank.medianMad(df, "g", "v")
+      .as[(Option[String], Option[Double], Option[Double])].collect().toSet
+    graft.CacheScope.drain()
+    assert(got == Set(
+      (Some("x"), None, None),
+      (Some("y"), Some(5.0), Some(4.0)),
+      (None, Some(3.0), Some(1.0))))
   }
 
   test("valuesAtRanks handles the groupless global-quantile shape") {
