@@ -309,11 +309,38 @@ object AdvancedQueries {
       val e = Tables(s, dir).events.select(col("event_id"), col("user_id"), col("ts"))
       val a = e.select(col("event_id").as("event_a"), col("user_id"), col("ts").as("ts_a"))
       val b = e.select(col("event_id").as("event_b"), col("user_id"), col("ts").as("ts_b"))
-      RangeJoin.withinGap(a, b, Seq("user_id"), "ts_a", "ts_b", gapMicros = 900000000L)
+      val proj = (j: org.apache.spark.sql.DataFrame) => j
         .filter(col("event_a") < col("event_b"))
         .select(col("event_a"), col("event_b"),
           abs(unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("gap_us"))
-        .orderBy(col("event_a"), col("event_b"))
+      // broadcast-ordered tier (r12): the output ORDER BY was ~91 s of
+      // the 95 s 100× query — a range exchange of 517M expanded rows.
+      // When the compact b side is broadcast-sized, range-partition
+      // the SOURCE a rows on the leading output key, keep that
+      // partitioning through the broadcast join (streamed side), and
+      // the global order is partition order + a within-partition
+      // sort — the q48 exchange-before-expansion pattern; equal
+      // event_a keys land in one range partition, so partition
+      // concatenation under the local (event_a, event_b) sort IS the
+      // ORDER BY, byte-identical. Above the broadcast bound the
+      // shuffled bucket join + global sort remains the scale tier.
+      if (b.queryExecution.optimizedPlan.stats.sizeInBytes
+          <= RangeJoin.BroadcastStatsMaxBytes)
+        // 8× over-partitioned source exchange: the join fans each
+        // source row out ~50× at 100× density, so default-partition
+        // local sorts would hold ~16M wide rows each — measured 21 GB
+        // of sort spill. 8× more (tiny) source partitions keep every
+        // post-join local sort in task memory; the exchange itself
+        // moves only the 10M source rows either way.
+        proj(RangeJoin.withinGapBroadcast(
+            a.repartitionByRange(
+              8 * s.sessionState.conf.numShufflePartitions, col("event_a")), b,
+            Seq("user_id"), "ts_a", "ts_b", gapMicros = 900000000L))
+          .sortWithinPartitions(col("event_a"), col("event_b"))
+      else
+        proj(RangeJoin.withinGap(a, b, Seq("user_id"), "ts_a", "ts_b",
+            gapMicros = 900000000L))
+          .orderBy(col("event_a"), col("event_b"))
     },
 
     // ------------------------------------------------------------------

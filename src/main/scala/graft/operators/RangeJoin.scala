@@ -73,4 +73,56 @@ object RangeJoin {
         abs(unix_micros(col(leftTime)) - unix_micros(col(rightTime))) <= gapMicros)
       .drop("__bucket")
   }
+
+  /** Plan-stats ceiling for [[withinGapBroadcast]]'s build side: under
+    * it the un-replicated right side is broadcast-sized (the 100×
+    * events table reads ~211 MB of parquet → a ~10M-row compact
+    * hashed relation, well inside Spark's broadcast limits); above it
+    * the caller must take the shuffled [[withinGap]] plan. A
+    * deliberately conservative 1 GB — the knob exists so callers
+    * dispatch adaptively, not so anyone broadcasts a fact table.
+    */
+  val BroadcastStatsMaxBytes: Long = 1L << 30
+
+  /** [[withinGap]] with the sides FLIPPED onto a broadcast hash join:
+    * the right side is broadcast compact (one row, exact bucket), and
+    * the STREAMED left side probes every bucket a qualifying partner
+    * could live in (explode to ±k — the fan-out rides the cheap
+    * streamed side instead of the shuffled build). Same completeness
+    * argument as [[withinGap]]: a qualifying pair's buckets differ by
+    * at most k, so exactly one probe replica hits the partner's
+    * bucket — complete and duplicate-free.
+    *
+    * THE POINT is plan shape, not the join itself: a broadcast join
+    * preserves the streamed side's partitioning, so a caller that
+    * range-partitions `left` on its output-order prefix BEFORE this
+    * join gets join output whose partition concatenation already
+    * respects that prefix — a `sortWithinPartitions` on the full key
+    * then equals the global ORDER BY with NO post-expansion range
+    * exchange (the q48 exchange-before-expansion pattern applied to a
+    * join: q67's 517M-row output sort was ~91 s of its 95 s at 100×,
+    * all of it the exchange of expanded rows). Dispatch on
+    * [[BroadcastStatsMaxBytes]]; the shuffled plan stays the
+    * unbounded-scale tier.
+    */
+  def withinGapBroadcast(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      gapMicros: Long,
+      bucketMicros: Long = 0L): DataFrame = {
+    require(gapMicros > 0, "gapMicros must be positive")
+    val width = if (bucketMicros > 0) bucketMicros else gapMicros
+    val k = ((gapMicros + width - 1) / width).toInt
+    val lb = floor(unix_micros(col(leftTime)) / width)
+    val rb = floor(unix_micros(col(rightTime)) / width)
+    val r = right.withColumn("__bucket", rb)
+    val l = left.withColumn("__bucket", explode(sequence(lb - k, lb + k)))
+    l.join(broadcast(r), keys :+ "__bucket")
+      .filter(
+        abs(unix_micros(col(leftTime)) - unix_micros(col(rightTime))) <= gapMicros)
+      .drop("__bucket")
+  }
 }

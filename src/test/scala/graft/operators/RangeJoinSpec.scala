@@ -53,6 +53,37 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("broadcast tier == shuffled tier == naive join, and preserves left partitioning") {
+    val gap = 900L * 1000000
+    val e = Tables(spark, "/root/testdata/sf0.001").events
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val a = e.select(col("event_id").as("ea"), col("user_id"), col("ts").as("ta"))
+    val b = e.select(col("event_id").as("eb"), col("user_id"), col("ts").as("tb"))
+    for (width <- Seq(0L, gap / 3)) {
+      val viaB = RangeJoin.withinGapBroadcast(a, b, Seq("user_id"), "ta", "tb",
+          gap, width)
+        .filter(col("ea") < col("eb"))
+        .select("ea", "eb").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val (viaS, want) = pairs(gap)
+      // set-equal AND duplicate-free (each qualifying pair exactly once)
+      assert(viaB.length == viaB.toSet.size, "broadcast tier emitted duplicates")
+      assert(viaB.toSet == want, s"width=$width broadcast tier mismatch")
+      assert(viaS == want)
+    }
+    // the ordered-output contract: range-partition the streamed side
+    // on the output prefix, sort within partitions, and the collected
+    // row order must equal the global ORDER BY
+    val ordered = RangeJoin.withinGapBroadcast(
+        a.repartitionByRange(4, col("ea")), b, Seq("user_id"), "ta", "tb", gap)
+      .filter(col("ea") < col("eb"))
+      .select("ea", "eb")
+      .sortWithinPartitions(col("ea"), col("eb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ordered == ordered.sorted,
+      "partition concatenation + local sort must equal the global order")
+  }
+
   test("boundary exactness: a pair exactly gap apart is included") {
     import spark.implicits._
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
