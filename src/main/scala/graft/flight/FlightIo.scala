@@ -31,27 +31,6 @@ object FlightIo {
     f"$base/year=${p.getYear}%04d/month=${p.getMonthValue}%02d/day=${p.getDayOfMonth}%02d/flights$ts"
   }
 
-  /** Driver-extracted rows as a DISTRIBUTED dataset: parallelize the
-    * raw seq before the encoder so per-row encoding runs in tasks
-    * (cluster-wide) instead of single-threaded on the driver at every
-    * consuming action — `Seq.toDF` builds a LocalRelation whose 3M-row
-    * encode measured 18.1 s inside the bronze write at the 3M-row
-    * scale bench (FLIGHTBENCH_r11); the extraction itself stays
-    * driver-side by design (reference parity — the API pages land in
-    * driver memory either way, `extract.py`), this only moves the
-    * row-to-Tungsten conversion off the single thread. Slice count
-    * scales with rows so the hourly reference workload (~thousands of
-    * rows) pays nothing.
-    */
-  def distributedFlights(
-      spark: org.apache.spark.sql.SparkSession,
-      raw: Seq[Flight]): DataFrame = {
-    import spark.implicits._
-    val slices = math.max(spark.sparkContext.defaultParallelism,
-      1 + raw.size / 100000)
-    spark.createDataset(spark.sparkContext.parallelize(raw, slices)).toDF()
-  }
-
   /** Dim CSV: single file, header, overwrite (`load.py:17`). */
   def writeDimCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.option("header", "true").mode("overwrite").csv(path)

@@ -40,7 +40,10 @@ final class FlightPipeline(
   def run(now: ZonedDateTime = ZonedDateTime.now(FlightIo.ParisZone)): String = {
     val raw: Seq[Flight] = FlightExtract.allFlights(source, apiLimit)
     // to(schema) reconciles the encoder schema's nullability with the
-    // declared silver schema inside the plan — no drop to the RDD path
+    // declared silver schema inside the plan — no drop to the RDD
+    // path. Driver-side rows are reference parity (hourly page
+    // volumes); above ~1M rows use FlightExtract.allFlightsDistributed
+    // so pages never transit the driver (FLIGHTBENCH_r12).
     val bronze = raw.toDF().to(FlightModel.flightSilverSchema)
     FlightIo.writeBronzeCsv(bronze, bronzeBase, now)
 

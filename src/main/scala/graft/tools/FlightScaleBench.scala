@@ -118,17 +118,27 @@ object FlightScaleBench {
     val source = new SyntheticSource(leafRows)
     def secs(t0: Long): Double = (System.nanoTime() - t0) / 1e9
 
-    // --- extract (driver-side paging fake, quadtree splitter) -------
+    // --- extract: EXECUTOR-SIDE quadtree paging (the scale path —
+    // pages never transit the driver; ProbeBronze pinned the r11
+    // 18 s bronze floor to driver-resident row shipping, not the
+    // write). extract_sec = the level-synchronous fetch sweep that
+    // caches every page cluster-side; nRaw from the cached frames.
     var t0 = System.nanoTime()
-    val raw = FlightExtract.allFlights(source, limit = 1500)
+    val raw = FlightExtract.allFlightsDistributed(spark, source, limit = 1500)
     val tExtract = secs(t0)
-    val nRaw = raw.size
 
-    // --- bronze: in-memory rows -> declared schema -> CSV snapshot --
+    // --- bronze: cached executor-side rows -> declared schema -> CSV
+    // (nRaw rides the write via observe — no separate counting pass)
     t0 = System.nanoTime()
+    val rawObs = org.apache.spark.sql.Observation()
     val bronze = raw.toDF().to(FlightModel.flightSilverSchema)
+      .observe(rawObs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
     val bronzePath = FlightIo.writeBronzeCsv(bronze, s"$base/bronze", now)
+    val nRaw = rawObs.get("n").asInstanceOf[Long]
     val tBronze = secs(t0)
+
+    graft.CacheScope.drain() // free the extract's page cache
 
     // --- silver: re-read bronze (schema-on-read, no infer), dedup ---
     t0 = System.nanoTime()
