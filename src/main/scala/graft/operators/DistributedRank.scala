@@ -340,6 +340,34 @@ object DistributedRank {
     * and the second selection's exchange is bounded by DISTINCT
     * DERIVED VALUES, not rows.
     */
+  /** Driver-side total ordering for a value column type, matching the
+    * distributed path's sort semantics exactly (doubles: NaN greatest,
+    * −0.0 < 0.0 — scala's TotalOrdering == Spark's nan-safe compare;
+    * Comparable types by compareTo). Types without a pinned match
+    * (strings under collation, intervals, …) return None and stay on
+    * the distributed path.
+    */
+  private def driverValueOrdering(
+      dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DoubleType =>
+        Some(Ordering.Double.TotalOrdering.on((x: Any) => x.asInstanceOf[Double]))
+      case FloatType =>
+        Some(Ordering.Float.TotalOrdering.on((x: Any) => x.asInstanceOf[Float]))
+      case LongType | IntegerType | ShortType | ByteType =>
+        Some(Ordering.by((x: Any) => x.asInstanceOf[Number].longValue()))
+      case _: DecimalType =>
+        Some(Ordering.by((x: Any) => x.asInstanceOf[java.math.BigDecimal]))
+      case DateType =>
+        Some(Ordering.by((x: Any) => x.asInstanceOf[java.sql.Date]))
+      case TimestampType | TimestampNTZType =>
+        Some(Ordering.fromLessThan((a: Any, b: Any) =>
+          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0))
+      case _ => None
+    }
+  }
+
   def valuesAtRanksFromCounts(
       vc: DataFrame,
       groupCols: Seq[String],
@@ -354,6 +382,94 @@ object DistributedRank {
       s"valuesAtRanksFromCounts: renaming $cntCol would collide with an " +
         "existing __cnt column — drop or rename it first")
     val vcc = if (cntCol == "__cnt") vc else vc.withColumnRenamed(cntCol, "__cnt")
+    // ---- DRIVER tier (r12, the q95 medianMad generalization): when
+    // the count table itself limit-collects under the driver bound,
+    // the whole selection — group totals, target placement, the
+    // cumulative walk — is a scan over ≤1M collected triples, ONE
+    // Spark job where the distributed form pays the totals collect,
+    // runningSum's range exchange + offset collect, and the
+    // broadcast range-join. Under replica scaling the count table is
+    // invariant, so this tier keeps firing at 100×; true-scale value
+    // domains overflow the probe once (≤1M small rows shipped) and
+    // take the distributed path below. Values are SELECTED, never
+    // computed, so tier choice cannot change a single bit
+    // (DistributedRankSpec pins equality both sides).
+    val ordOpt = driverValueOrdering(vcc.schema(valueCol).dataType)
+    val probed =
+      if (ordOpt.isEmpty) None
+      else {
+        val rows = vcc.limit(maxDriverRows + 1).collect()
+        if (rows.length > maxDriverRows) None
+        else {
+          val ord = ordOpt.get
+          val schema = vcc.schema
+          val gIdx = groupCols.map(schema.fieldIndex)
+          val vI = schema.fieldIndex(valueCol)
+          val cI = schema.fieldIndex("__cnt")
+          val rowOrd = new Ordering[Row] {
+            def compare(a: Row, b: Row): Int = {
+              val an = a.isNullAt(vI); val bn = b.isNullAt(vI)
+              if (an && bn) 0 else if (an) -1 else if (bn) 1
+              else ord.compare(a.get(vI), b.get(vI))
+            }
+          }
+          val outRows = rows
+            .groupBy(r => gIdx.map(i => r.get(i)))
+            .valuesIterator
+            .flatMap { rs =>
+              val sorted = rs.sorted(rowOrd)
+              val total = sorted.iterator.map(_.getLong(cI)).sum
+              val targets =
+                ranksOf(total).filter(k => k >= 1 && k <= total).distinct.sorted
+              val hits = Seq.newBuilder[Row]
+              var acc = 0L
+              var i = 0
+              var remaining = targets
+              while (remaining.nonEmpty && i < sorted.length) {
+                val r = sorted(i)
+                acc += r.getLong(cI)
+                val (here, later) = remaining.span(_ <= acc)
+                here.foreach { k =>
+                  hits += Row.fromSeq(gIdx.map(r.get) ++
+                    Seq(r.get(vI), k) ++
+                    (if (outTotal.nonEmpty) Seq(total) else Nil))
+                }
+                remaining = later
+                i += 1
+              }
+              hits.result()
+            }
+            .toSeq
+          val outSchema = StructType(
+            gIdx.map(schema.fields) ++ Seq(
+              schema.fields(vI),
+              StructField(out, LongType, nullable = false)) ++
+              (if (outTotal.nonEmpty)
+                Seq(StructField(outTotal, LongType, nullable = false))
+              else Nil))
+          Some(spark.createDataFrame(
+            java.util.Arrays.asList(outRows: _*), outSchema)
+            .toDF((groupCols :+ valueCol :+ out) ++
+              (if (outTotal.nonEmpty) Seq(outTotal) else Nil): _*))
+        }
+      }
+    probed.getOrElse(valuesAtRanksFromCountsDistributed(
+      vcc, groupCols, valueCol, ranksOf, out, outTotal, maxDriverRows))
+  }
+
+  /** The distributed tier of [[valuesAtRanksFromCounts]]: totals
+    * collect → target table → [[runningSum]] prefix → broadcast
+    * range-join against the target list.
+    */
+  private def valuesAtRanksFromCountsDistributed(
+      vcc: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      ranksOf: Long => Seq[Long],
+      out: String,
+      outTotal: String,
+      maxDriverRows: Int): DataFrame = {
+    val spark = vcc.sparkSession
     val totsDf = vcc.groupBy(groupCols.map(col): _*).agg(sum(col("__cnt")).as("__tot"))
     val tots = collectBounded(totsDf, maxDriverRows, "valuesAtRanksFromCounts")
     val targetRows = tots.toSeq.flatMap { r =>

@@ -463,6 +463,32 @@ class DistributedRankSpec extends AnyFunSuite {
     assert(cDist == a)
   }
 
+  test("valuesAtRanksFromCounts: driver tier == distributed tier (nulls, long values)") {
+    import spark.implicits._
+    // long values + null values + a null group key; ranks at the
+    // edges and middle. maxDriverRows=500 forces the distributed tier
+    // (the ~2000-distinct-value probe overflows it) while every
+    // internal collect of that tier — group totals, per-partition
+    // offsets, targets — stays comfortably under it.
+    val rng = new scala.util.Random(11)
+    val df = Seq.tabulate(3000) { i =>
+      (if (i % 7 == 0) None else Some(i % 3),
+        if (i % 11 == 0) None else Some(rng.nextInt(5000).toLong))
+    }.toDF("g", "v")
+    val vc = graft.CacheScope.scoped(
+      df.groupBy(col("g"), col("v")).agg(count(lit(1)).as("__cnt")))
+    def ranks(n: Long): Seq[Long] = Seq(1L, (n + 1) / 2, n)
+    val viaDriver = DistributedRank.valuesAtRanksFromCounts(vc, Seq("g"), "v",
+      "__cnt", ranks, "rn", outTotal = "n")
+      .collect().map(_.toSeq).toSet
+    val viaDist = DistributedRank.valuesAtRanksFromCounts(vc, Seq("g"), "v",
+      "__cnt", ranks, "rn", outTotal = "n", maxDriverRows = 500)
+      .collect().map(_.toSeq).toSet
+    graft.CacheScope.drain()
+    assert(viaDriver.nonEmpty)
+    assert(viaDriver == viaDist)
+  }
+
   test("medianMad driver tier: null values rank first, null group is its own group") {
     import spark.implicits._
     // null-heavy group x: median lands on nulls -> null med/mad; group
