@@ -102,6 +102,19 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("q67_event_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop fallback:\n${p.take(1500)}")
     assert(!p.contains("CartesianProduct"), s"cartesian fallback:\n${p.take(1500)}")
+    // r12 order-preserving broadcast tier: the ORDER BY must be a
+    // PARTIAL sort (global=false) over the join — the only range
+    // exchange is the SOURCE rows on the leading output key, never
+    // the expanded join output (the 517M-row exchange this plan
+    // deletes at 100×)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast tier:\n${p.take(1500)}")
+    assert(p.linesIterator.exists(l =>
+      l.contains("Sort [event_a") && l.contains("], false, 0")),
+      s"expected a within-partition (global=false) output sort:\n${p.take(1500)}")
+    val rangeEx = p.linesIterator.filter(_.contains("Exchange rangepartitioning")).toSeq
+    assert(rangeEx.size == 1 && rangeEx.head.contains("event_a") &&
+      !rangeEx.head.contains("event_b"),
+      s"expected exactly the source range exchange on event_a:\n$rangeEx")
   }
 
   test("q78: vocabulary and corpus-size sides broadcast — the postings side never re-shuffles for them") {
