@@ -72,8 +72,6 @@ object ScanBudgets {
     // MODEL+APPLY class ----------------------------------------------
     // histogram boundaries derived, then rows bucketed
     "q40_price_buckets" -> Map("orders" -> 2),
-    // HLL estimate leg + exact countDistinct gate leg
-    "q43_approx_distinct" -> Map("lineitem" -> 2),
     // quartile boundaries (model) then assignment
     "q46_ntile_quartile" -> Map("orders" -> 2),
     // LSH band signatures (persisted, spec-pinned) + corpus text

@@ -63,19 +63,24 @@ object AdvancedQueries {
         |  CAST(count(*) AS BIGINT) AS n_lines,
         |  TRUE AS sketch_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      // sketch and exact as two separate aggregations joined on the
-      // tiny group key: mixing a distinct agg with non-distinct ones
-      // in a single agg forces Expand (2× every input row before the
-      // shuffle) — measured 1.6× slower at sf0.1 than two passes over
-      // the pruned single-column scan
-      val li = Tables(s, dir).lineitem
-      val sketch = li.groupBy(col("l_returnflag"))
+      // ONE fact pass for sketch AND exact (r12 — the r11 form ran two
+      // full scans joined on the group key, and the single-agg mix
+      // would force Expand): aggregate to the distinct (flag, partkey)
+      // count table first (map-side-combined — shuffle bounded by
+      // distinct keys, replica-invariant), then every output derives
+      // from that tiny table in one more aggregate: exact_parts =
+      // its non-null-key row count, n_lines = sum of its counts, and
+      // the HLL runs over the DEDUPED keys — registers are max-merges,
+      // duplicate-idempotent, so the estimate is bit-identical to
+      // sketching the raw rows.
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"), col("l_partkey"))
+        .agg(count(lit(1)).as("__cnt"))
+        .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-          count(lit(1)).as("n_lines"))
-      val exact = li.groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
-      sketch.join(exact, "l_returnflag")
+          count(col("l_partkey")).as("exact_parts"),
+          sum(col("__cnt")).as("n_lines"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
         .select(col("l_returnflag"), col("exact_parts"), col("n_lines"),
           (abs(col("approx_parts") - col("exact_parts")) <=
             col("exact_parts") * 0.05).as("sketch_ok"))

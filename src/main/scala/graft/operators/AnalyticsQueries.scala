@@ -782,18 +782,19 @@ object AnalyticsQueries {
       val a = Tables(s, dir).lineitem
         .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
         .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).as("w"))
-      // deliberately NOT the adaptive dispatch: prices are near-unique
-      // (583k distinct among 600k sf0.1 lines), so this distinct-value
-      // table is ~fact-row-sized — the one prefix-sum consumer whose
-      // input the bytes estimate cannot tell apart from the bounded
-      // tables (same-minute ABA at sf0.1: kernel 2.28 s vs window
-      // 2.40–2.79 s; the 3-task window sort loses to 32 balanced
-      // partitions from here up, and the input only grows with data)
-      DistributedRank.runningSum(a, Seq("l_returnflag"), Seq("v"), "w", "cw",
-        outTotal = "tw")
-        .filter(col("cw") * 2 >= col("tw"))
-        .groupBy(col("l_returnflag"))
-        .agg(min(col("v")).as("wmedian"))
+      // weightedMedian kernel, pinned to its DISTRIBUTED tier
+      // (driverTier = false, so not even the probe runs — a failed
+      // probe recomputes this unpersisted aggregate, measured 4.1 s):
+      // prices are near-unique (583k distinct among 600k sf0.1
+      // lines), so this weight table is ~fact-row-sized and the
+      // driver tier's single-threaded collect+walk measured a
+      // REGRESSION — sf0.1 2.32 → 2.80 s, 100× ~equal (6.18 at sys
+      // 0.44 vs the 5.25 distributed floor) — unlike the count-table
+      // kernels (q95/q41/q84), whose driver tiers replace several
+      // jobs. The driver tier stays for genuinely bounded weight
+      // tables (spec-pinned equal).
+      DistributedRank.weightedMedian(a, Seq("l_returnflag"), "v", "w",
+        driverTier = false)
         .orderBy(col("l_returnflag"))
     },
 

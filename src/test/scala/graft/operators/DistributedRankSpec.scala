@@ -489,6 +489,39 @@ class DistributedRankSpec extends AnyFunSuite {
     assert(viaDriver == viaDist)
   }
 
+  test("weightedMedian: driver tier == distributed tier == window form (decimal weights, ties)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val rows = Seq.tabulate(400) { i =>
+      (i % 3, (rng.nextInt(50) * 0.5), BigDecimal(rng.nextInt(9) + 1).setScale(2))
+    }
+    val w = rows.toDF("g", "v", "q")
+      .groupBy(col("g"), col("v"))
+      .agg(sum(col("q").cast(org.apache.spark.sql.types.DecimalType(12, 2))).as("w"))
+      .persist()
+    // reference: the plain window crossing
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("v").rowsBetween(Long.MinValue, 0)
+    val tot = w.groupBy("g").agg(sum("w").as("tw"))
+    val want = w.withColumn("cw", sum("w").over(win))
+      .join(tot, "g")
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy("g").agg(min("v").as("wmedian"))
+      .as[(Int, Double)].collect().toSet
+    val viaDriver = DistributedRank.weightedMedian(w, Seq("g"), "v", "w")
+      .as[(Int, Double)].collect().toSet
+    // bound chosen to overflow the ~150-row table probe while every
+    // internal collect of the distributed tier (≤ 96 per-partition
+    // offset rows, 3 totals) stays under it
+    val viaDist = DistributedRank.weightedMedian(w, Seq("g"), "v", "w",
+      maxDriverRows = 100)
+      .as[(Int, Double)].collect().toSet
+    w.unpersist()
+    graft.CacheScope.drain()
+    assert(viaDriver == want)
+    assert(viaDist == want)
+  }
+
   test("medianMad driver tier: null values rank first, null group is its own group") {
     import spark.implicits._
     // null-heavy group x: median lands on nulls -> null med/mad; group
