@@ -388,14 +388,44 @@ object AdvancedQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY rf, ls""".stripMargin) { (s, dir) =>
-      Tables(s, dir).lineitem.createOrReplaceTempView("lineitem")
-      s.sql(
-        """SELECT COALESCE(l_returnflag,'ALL') AS rf, COALESCE(l_linestatus,'ALL') AS ls,
-          |  CAST(COUNT(*) AS BIGINT) AS n,
-          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
-          |FROM lineitem
-          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-          |ORDER BY rf, ls""".stripMargin)
+      // Roll the sets up from the FINEST common grouping instead of
+      // letting GROUPING SETS plan an Expand (×|sets| on every fact
+      // row before the shuffle): one map-side-combined aggregate to
+      // the (rf, ls) table — single-digit rows — then the (rf), (ls)
+      // and () sets derive on the driver by exact merges (COUNT adds;
+      // SUM of decimal partial-sums is the same exact decimal, so the
+      // final double cast is bit-identical). ONE job over the fact
+      // where the Expand form shuffled 3× the rows. Data-null group
+      // values keep grouping-set semantics: they fold to 'ALL' within
+      // their set exactly like the SQL's COALESCE.
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val base = Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+        .collect()
+      def all(x: Any): String = if (x == null) "ALL" else x.toString
+      def roll(key: Row => (String, String)): Seq[Row] = base
+        .groupBy(key)
+        .map { case ((rf, ls), rs) =>
+          val n = rs.map(_.getLong(2)).sum
+          val qtys = rs.map(_.getDecimal(3)).filter(_ != null)
+          val qty =
+            if (qtys.isEmpty) null else qtys.reduce(_.add(_)).doubleValue()
+          Row(rf, ls, n, qty)
+        }.toSeq
+      val rows =
+        roll(r => (all(r.get(0)), "ALL")) ++
+        roll(r => ("ALL", all(r.get(1)))) ++
+        (if (base.isEmpty) Seq(Row("ALL", "ALL", 0L, null)) // SQL's () set
+         else roll(_ => ("ALL", "ALL")))
+      val schema = StructType(Seq(
+        StructField("rf", StringType), StructField("ls", StringType),
+        StructField("n", LongType, nullable = false),
+        StructField("qty", DoubleType)))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .orderBy(col("rf"), col("ls"))
     },
 
     // ------------------------------------------------------------------

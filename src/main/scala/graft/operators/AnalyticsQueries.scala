@@ -887,6 +887,13 @@ object AnalyticsQueries {
       val ic = baskets
         .select(explode(col("parts")).as("l_partkey"))
         .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      // NOTE (r12 negative result): filtering the array with a
+      // higher-order `filter(parts, _ > pa)` before the second explode
+      // halves generated rows on paper but takes the expression out of
+      // whole-stage codegen (per-element lambda interpretation) — same-
+      // window fresh-JVM samples read it at/above this form's minima
+      // (11.4 vs 8.5 s at 100×), never below. The codegen'd
+      // cross+filter stays.
       val pr = baskets
         .select(explode(col("parts")).as("pa"), col("parts"))
         .select(col("pa"), explode(col("parts")).as("pb"))
