@@ -72,8 +72,11 @@ object ScanBudgets {
     // MODEL+APPLY class ----------------------------------------------
     // histogram boundaries derived, then rows bucketed
     "q40_price_buckets" -> Map("orders" -> 2),
-    // quartile boundaries (model) then assignment
-    "q46_ntile_quartile" -> Map("orders" -> 2),
+    // MODEL+APPLY with two model slivers: the per-price count table,
+    // the boundary tie blocks (pushed-IN-filter sliver), then the
+    // assignment pass — the rank-free ntile (r12); the third "scan"
+    // reads ~one tie block per boundary, never the table
+    "q46_ntile_quartile" -> Map("orders" -> 3),
     // LSH band signatures (persisted, spec-pinned) + corpus text
     // rescan for the exact-verify tier and survivor output
     "q53_neardup_pipeline" -> Map("documents" -> 3),

@@ -83,18 +83,86 @@ object AnalyticsQueries {
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       val k = 4
       val o = Tables(s, dir).orders.select(col("o_orderkey"), col("o_totalprice"))
-      val nRow = o.agg(count(lit(1)).as("n"))
-      val ranked = DistributedRank.rowNumberAdaptive(o,
-        groupCols = Seq.empty, orderCols = Seq("o_totalprice", "o_orderkey"), "rn")
-        .crossJoin(broadcast(nRow))
-      // SQL ntile: q = n/k, r = n%k; first r buckets have q+1 rows
-      val q = floor(col("n") / k).cast("long")
-      val r = col("n") % k
-      val big = r * (q + 1) // rows covered by the larger buckets
-      val quartile = when(col("rn") <= big, floor((col("rn") - 1) / (q + 1)))
-        .otherwise(r + floor((col("rn") - 1 - big) / q)) + 1
-      ranked.select(col("o_orderkey"), quartile.cast(IntegerType).as("quartile"))
-        .orderBy(col("o_orderkey"))
+      // ntile needs only the k−1 BUCKET BOUNDARIES, not a global rank
+      // on every row (r12): aggregate to the per-price count table
+      // (map-side combined, replica-invariant — ~150k distinct prices
+      // at sf0.1 AND 100×), walk it on the driver to the boundary
+      // (price, within-tie-offset) cuts, resolve each cut's exact
+      // orderkey from its tie block (a pushed-IN-filter sliver scan —
+      // blocks are ~rows/distinct ≈ 100 rows at 100×), and assign
+      // buckets with PURE LITERAL comparisons — no row ever carries a
+      // rank, no offsets join. Output order rides the q48 pattern:
+      // range-exchange the narrow source rows on o_orderkey before
+      // the assignment projection, sort within partitions. vs the
+      // rank form: one full-data exchange + offsets join + a second
+      // full-data ORDER BY exchange replaced by ONE narrow exchange.
+      // Wide price domains (probe > 1M distinct) or degenerate inputs
+      // fall back to the exact rank form below.
+      val vc = CacheScope.scoped(
+        o.groupBy(col("o_totalprice")).agg(count(lit(1)).as("__cnt")))
+      val probe = vc.limit(DistributedRank.DefaultMaxDriverRows + 1).collect()
+      val driverPath =
+        if (probe.length > DistributedRank.DefaultMaxDriverRows ||
+            probe.exists(_.isNullAt(0))) None
+        else {
+          val sorted = probe.sortBy(_.getDouble(0))
+          val n = sorted.iterator.map(_.getLong(1)).sum
+          if (n < 4L * k) None // tiny inputs: duplicate cut ranks possible
+          else {
+            val q = n / k; val r = n % k
+            // cumulative row count at the END of buckets 1..k−1
+            val cutRanks = (1 until k).map(i =>
+              if (i <= r) i * (q + 1) else r * (q + 1) + (i - r) * q)
+            var acc = 0L; var j = 0
+            val cuts = cutRanks.map { t =>
+              while (acc + sorted(j).getLong(1) < t) {
+                acc += sorted(j).getLong(1); j += 1
+              }
+              (sorted(j).getDouble(0), t - acc, sorted(j).getLong(1))
+            }
+            // exact orderkey at each mid-block cut: off-th smallest key
+            // in the boundary tie block (whole-block cuts need none)
+            val needKeys = cuts.filter { case (_, off, cnt) => off < cnt }
+            val tieKeys: Map[Double, Array[Long]] =
+              if (needKeys.isEmpty) Map.empty
+              else o.filter(col("o_totalprice")
+                  .isin(needKeys.map(_._1).distinct: _*))
+                .collect()
+                .groupBy(_.getDouble(1))
+                .map { case (p, rs) => p -> rs.map(_.getLong(0)).sorted }
+            val conds = cuts.map { case (p, off, cnt) =>
+              if (off >= cnt) col("o_totalprice") <= p
+              else {
+                val keyCut = tieKeys(p)(off.toInt - 1)
+                col("o_totalprice") < p ||
+                  (col("o_totalprice") === p && col("o_orderkey") <= keyCut)
+              }
+            }
+            val quartile = conds.zipWithIndex.reverse
+              .foldLeft(lit(k): org.apache.spark.sql.Column) {
+                case (e, (c, i)) => when(c, i + 1).otherwise(e)
+              }
+            Some(o
+              .repartitionByRange(col("o_orderkey"))
+              .select(col("o_orderkey"),
+                quartile.cast(IntegerType).as("quartile"))
+              .sortWithinPartitions(col("o_orderkey")))
+          }
+        }
+      driverPath.getOrElse {
+        val nRow = o.agg(count(lit(1)).as("n"))
+        val ranked = DistributedRank.rowNumberAdaptive(o,
+          groupCols = Seq.empty, orderCols = Seq("o_totalprice", "o_orderkey"), "rn")
+          .crossJoin(broadcast(nRow))
+        // SQL ntile: q = n/k, r = n%k; first r buckets have q+1 rows
+        val q = floor(col("n") / k).cast("long")
+        val r = col("n") % k
+        val big = r * (q + 1) // rows covered by the larger buckets
+        val quartile = when(col("rn") <= big, floor((col("rn") - 1) / (q + 1)))
+          .otherwise(r + floor((col("rn") - 1 - big) / q)) + 1
+        ranked.select(col("o_orderkey"), quartile.cast(IntegerType).as("quartile"))
+          .orderBy(col("o_orderkey"))
+      }
     },
 
     // ------------------------------------------------------------------
