@@ -98,11 +98,19 @@ object AnalyticsQueries {
       // full-data ORDER BY exchange replaced by ONE narrow exchange.
       // Wide price domains (probe > 1M distinct) or degenerate inputs
       // fall back to the exact rank form below.
-      val vc = CacheScope.scoped(
+      // stats gate: below the 64 MB plan-stats ceiling the window-rank
+      // fallback is already one cheap job (sf0.1 measured 0.55 s vs
+      // the boundary path's 1.2 — the count-table collect is pure
+      // overhead at sizes a single window sorts instantly); the
+      // boundary path is for data that has outgrown that
+      val statsSmall = o.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        DistributedRank.SmallStatsBytes
+      lazy val vc = CacheScope.scoped(
         o.groupBy(col("o_totalprice")).agg(count(lit(1)).as("__cnt")))
-      val probe = vc.limit(DistributedRank.DefaultMaxDriverRows + 1).collect()
+      lazy val probe = vc.limit(DistributedRank.DefaultMaxDriverRows + 1).collect()
       val driverPath =
-        if (probe.length > DistributedRank.DefaultMaxDriverRows ||
+        if (statsSmall ||
+            probe.length > DistributedRank.DefaultMaxDriverRows ||
             probe.exists(_.isNullAt(0))) None
         else {
           val sorted = probe.sortBy(_.getDouble(0))
