@@ -165,12 +165,13 @@ object ConnectedComponents {
       .select(col(ca).as("a"), col(cb).as("b"))
       .observe(rawObs,
         count(lit(1)).as("n"),
-        // self-loop census rides the same materialization: the
+        // self-loop census rides the same materialization (observed on
+        // the RENAMED frame — "a"/"b" are this select's columns): the
         // join-free label emit below covers every node incident to a
         // NON-self edge; a self-loop-only node is only labeled by the
         // nodes-frame path, so its presence (rare; zero on every
         // shipped pipeline) picks the emit strategy
-        coalesce(sum(when(col(ca) === col(cb), 1L)), lit(0L)).as("sl"))
+        coalesce(sum(when(col("a") === col("b"), 1L)), lit(0L)).as("sl"))
       .localCheckpoint()
     (raw, rawObs.get("n").asInstanceOf[Long], rawObs.get("sl").asInstanceOf[Long])
   }
