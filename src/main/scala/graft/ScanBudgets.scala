@@ -93,9 +93,6 @@ object ScanBudgets {
     "q78_tfidf_topk" -> Map("documents" -> 3),
     // centroid model from the sliver + assignment pass
     "q79_kmeans_step" -> Map("embeddings" -> 2),
-    // per-column profile legs (numeric stats / distinct / null) that
-    // read disjoint column subsets of the same table
-    "q81_profile_columns" -> Map("lineitem" -> 3),
     // unigram LM: vocabulary + token counts (model) + per-doc apply
     "q86_unigram_logprob" -> Map("documents" -> 3),
     // GK sketch leg + exact percentile gate leg

@@ -68,9 +68,11 @@ object FlightExtract {
     * bytes each) to build the next frontier, and the fetched pages
     * stay executor-resident — bronze then writes straight from the
     * cluster. One fetch per zone, identical to the recursion's page
-    * economics; per-level frames are CacheScope-persisted (the
+    * economics; per-level frames are eagerly localCheckpointed (the
     * frontier collect and the final consumer must see the same
-    * fetch). Output is the same flight MULTISET as [[allFlights]]
+    * fetch — a lost block fails loudly rather than silently
+    * re-fetching a live source). Output is the same flight MULTISET
+    * as [[allFlights]]
     * (spec-pinned); only the row ORDER differs (level-grouped vs
     * depth-first) — downstream medallion stages are order-insensitive.
     * Sources must be serializable ([[FlightSource]] extends it); a
@@ -88,14 +90,24 @@ object FlightExtract {
     var depth = 0
     while (frontier.nonEmpty && depth <= maxDepth) {
       val lim = limit // avoid capturing the outer closure state
-      val fetched = graft.CacheScope.scoped(
-        spark.createDataset(frontier)
-          .repartition(math.min(frontier.size, para * 4))
-          .mapPartitions(_.map { z =>
-            val fl = src.flightsInZone(z, lim)
-            (z, fl.size == lim, fl)
-          })
-          .toDF("zone", "truncated", "flights"))
+      // eager localCheckpoint, NOT a best-effort persist (r13,
+      // ADVICE): the frontier collect and the final consumer must
+      // observe the SAME fetch, but cache eviction or task retry
+      // would re-invoke flightsInZone inside tasks — a LIVE source
+      // can then return a page that disagrees with the truncation
+      // decision already taken (silently dropping or double-counting
+      // flights). Checkpointing truncates lineage, so a lost block
+      // fails the job LOUDLY instead of silently refetching; the
+      // level frames are page-sized, and the checkpoint job IS the
+      // one fetch per zone the economics already budget.
+      val fetched = spark.createDataset(frontier)
+        .repartition(math.min(frontier.size, para * 4))
+        .mapPartitions(_.map { z =>
+          val fl = src.flightsInZone(z, lim)
+          (z, fl.size == lim, fl)
+        })
+        .toDF("zone", "truncated", "flights")
+        .localCheckpoint(true)
       val truncated = fetched.filter(org.apache.spark.sql.functions.col("truncated"))
         .select("zone.*").as[Zone].collect().toSeq
       val pages = fetched

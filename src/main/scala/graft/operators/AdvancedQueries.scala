@@ -330,7 +330,7 @@ object AdvancedQueries {
       // ORDER BY, byte-identical. Above the broadcast bound the
       // shuffled bucket join + global sort remains the scale tier.
       if (b.queryExecution.optimizedPlan.stats.sizeInBytes
-          <= RangeJoin.BroadcastStatsMaxBytes)
+          <= RangeJoin.broadcastStatsMaxBytes(s))
         // 8× over-partitioned source exchange: the join fans each
         // source row out ~50× at 100× density, so default-partition
         // local sorts would hold ~16M wide rows each — measured 21 GB
@@ -400,11 +400,30 @@ object AdvancedQueries {
       // their set exactly like the SQL's COALESCE.
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
-      val base = Tables(s, dir).lineitem
+      // bounded probe (r13, ADVICE): the finest grouping is expected
+      // single-digit rows, but a hostile/high-cardinality pair must
+      // not OOM the driver — limit(N+1) like every other driver tier;
+      // overflow falls back to the planned GROUPING SETS form below
+      // (Expand ×|sets|, the price of a catalog-sized grouping pair).
+      val maxRows = DistributedRank.DefaultMaxDriverRows
+      val baseDf = Tables(s, dir).lineitem
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
-        .collect()
+      val base = baseDf.limit(maxRows + 1).collect()
+      if (base.length > maxRows) {
+        Tables(s, dir).lineitem
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).as("qd"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("n"), col("qd").cast(DoubleType).as("qty"))
+          .orderBy(col("rf"), col("ls"))
+      } else {
       def all(x: Any): String = if (x == null) "ALL" else x.toString
       def roll(key: Row => (String, String)): Seq[Row] = base
         .groupBy(key)
@@ -426,6 +445,7 @@ object AdvancedQueries {
         StructField("qty", DoubleType)))
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .orderBy(col("rf"), col("ls"))
+      }
     },
 
     // ------------------------------------------------------------------

@@ -589,15 +589,42 @@ object AnalyticsQueries {
       val xc = round(col("l_quantity") * 100).cast("long")
       val yc = round(col("l_extendedprice") * 100).cast("long")
       val dec38 = DecimalType(38, 0)
+      // r13: the five moment SUMS leave Decimal(38,0) buffers for the
+      // q01 (div, mod) primitive-long split — the decimal partials
+      // were the measured 26×-vs-DuckDB floor at 100×. Per-row bounds
+      // and the 1e7 split points: xy = xc·yc ≤ 5.6e10 and
+      // yy = yc² ≤ 1.2e14 split at 1e7 (hi ≤ 1.2e7, lo < 1e7 — both
+      // part-sums wrap past ~7.7e11 rows per GROUP, ≈ the total
+      // 100 TB lineitem row count even with every row in one group);
+      // xx = xc² ≤ 2.6e7 splits at 1e4 (hi ≤ 2.6e3 → 3.5e15 rows,
+      // lo < 1e4 → 9.2e14 rows; unsplit its single sum would bind at
+      // 3.5e11 rows — BELOW the 100 TB degenerate bound, so xx is
+      // split too). The scale-2 sums sx/sy stay single longs (q01's
+      // accepted p2 bound). Each (hi·m + lo) recombines into ONE
+      // exact decimal per group, then the identical /100 and /1e4
+      // exact-decimal unscales and double casts as the decimal form —
+      // bit-identical for cent-representable inputs (the guard
+      // comment above).
+      def unscale(sumCol: org.apache.spark.sql.Column, scale: Long) =
+        (sumCol.cast(dec38) / scale).cast(DoubleType)
+      def combine(hi: org.apache.spark.sql.Column,
+          lo: org.apache.spark.sql.Column, m: Long) =
+        sum(hi).cast(dec38) * m + sum(lo).cast(dec38)
       Tables(s, dir).lineitem
+        .select(col("l_returnflag"), xc.as("xc"), yc.as("yc"),
+          (xc * yc).as("xy"), (xc * xc).as("xx"), (yc * yc).as("yy"))
+        .select(col("l_returnflag"), col("xc"), col("yc"),
+          expr("xy div 10000000").as("xyh"), (col("xy") % 10000000L).as("xyl"),
+          expr("xx div 10000").as("xxh"), (col("xx") % 10000L).as("xxl"),
+          expr("yy div 10000000").as("yyh"), (col("yy") % 10000000L).as("yyl"))
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).cast(DoubleType).as("n"),
-          (sum(xc.cast(dec38)) / 100).cast(DoubleType).as("sx"),
-          (sum(yc.cast(dec38)) / 100).cast(DoubleType).as("sy"),
-          (sum((xc * yc).cast(dec38)) / 10000).cast(DoubleType).as("sxy"),
-          (sum((xc * xc).cast(dec38)) / 10000).cast(DoubleType).as("sxx"),
-          (sum((yc * yc).cast(dec38)) / 10000).cast(DoubleType).as("syy"))
+          unscale(sum(col("xc")), 100L).as("sx"),
+          unscale(sum(col("yc")), 100L).as("sy"),
+          unscale(combine(col("xyh"), col("xyl"), 10000000L), 10000L).as("sxy"),
+          unscale(combine(col("xxh"), col("xxl"), 10000L), 10000L).as("sxx"),
+          unscale(combine(col("yyh"), col("yyl"), 10000000L), 10000L).as("syy"))
         // final REAL cast: the a·b − c·d double combination is 1-ulp
         // engine-sensitive (FMA/association — observed at sf0.001)
         .select(col("l_returnflag"),

@@ -711,7 +711,14 @@ object DistributedRank {
                 if (crossed && !r.isNullAt(vI)) hit = Some(r)
                 i += 1
               }
+              // all-NULL-value group: the crossing is reached but no
+              // non-null value exists — emit (group, NULL), exactly
+              // what the distributed tier's min(value) over the
+              // crossing rows returns (tiers stay bit-identical on
+              // degenerate input; WeightedMedianSpec pins it)
               hit.map(r => Row.fromSeq(gIdx.map(r.get) :+ r.get(vI)))
+                .orElse(sorted.headOption.map(r =>
+                  Row.fromSeq(gIdx.map(r.get) :+ null)))
             }
             .toSeq
           val outSchema = StructType(

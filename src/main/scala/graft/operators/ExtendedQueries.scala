@@ -74,14 +74,36 @@ object ExtendedQueries {
       // moments are exact decimals, but the a·b − c·d combination is
       // 1-ulp engine-sensitive in DOUBLE (fused multiply-add /
       // association differences — observed at sf0.001); the final
-      // REAL cast absorbs it, same contract as the trig/vector math
-      val p = dec2(col("l_extendedprice"))
+      // REAL cast absorbs it, same contract as the trig/vector math.
+      // Accumulation is the q01 scaled-long fast path finished for
+      // MOMENTS (r13): prices become exact cent longs (CENT-
+      // REPRESENTABLE inputs, the q85 contract), the squared moment
+      // yy = yc² ≤ 1.2e14 splits row-side into primitive (div, mod)
+      // parts at 1e7 — sum(hi) ≤ 1.2e7/row and sum(lo) < 1e7/row both
+      // wrap past ~7.7e11 rows per GROUP (≈ total 100 TB lineitem
+      // even degenerate) — so every partial sum is a primitive long
+      // in whole-stage codegen (the Decimal(38,0) sum buffers this
+      // replaces were the measured 15×-vs-DuckDB floor at 100×), and
+      // the parts recombine into ONE exact decimal per group before
+      // the same double cast as the decimal form (bit-identical:
+      // exact rational → one correctly-rounded cast).
+      val yc = round(col("l_extendedprice") * 100).cast(LongType)
+      val dec38 = DecimalType(38, 0)
+      def unscale(sumCol: org.apache.spark.sql.Column, scale: Long) =
+        dbl(sumCol.cast(dec38) / scale)
+      def combine(hi: org.apache.spark.sql.Column,
+          lo: org.apache.spark.sql.Column, m: Long) =
+        sum(hi).cast(dec38) * m + sum(lo).cast(dec38)
       Tables(s, dir).lineitem
+        .select(col("l_returnflag"), yc.as("yc"), (yc * yc).as("yy"))
+        .select(col("l_returnflag"), col("yc"),
+          expr("yy div 10000000").as("yyh"), (col("yy") % 10000000L).as("yyl"))
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
-          dbl(sum(p)).as("sum_price"),
-          sqrt((count(lit(1)) * dbl(sum(p * p)) - dbl(sum(p)) * dbl(sum(p)))
+          unscale(sum(col("yc")), 100L).as("sum_price"),
+          sqrt((count(lit(1)) * unscale(combine(col("yyh"), col("yyl"), 10000000L), 10000L)
+            - unscale(sum(col("yc")), 100L) * unscale(sum(col("yc")), 100L))
             / (count(lit(1)) * (count(lit(1)) - 1))).cast(FloatType).as("stddev_price"))
         .orderBy(col("l_returnflag"))
     },
@@ -235,15 +257,24 @@ object ExtendedQueries {
 
     // ------------------------------------------------------------------
     // q81 — column profiler: the data-quality primitive a pipeline
-    // runs before training (null counts, cardinality, min/max). One
-    // pruned single-column scan + expand-free two-phase distinct
-    // aggregate per column, unioned — measured 3× faster than the
-    // single-scan stack() form, whose 3 distinct aggs in one
-    // aggregate Expand every input row 4× before the shuffle (same
-    // lesson as q43; the scans are columnar so "three scans" read no
-    // more bytes than one 3-column scan). Stringly min/max only for
-    // types whose string form is engine-identical (ints, dates,
-    // strings — no doubles).
+    // runs before training (null counts, cardinality, min/max). ONE
+    // scan, expand-free (r13): each row explodes map-side into three
+    // (column_name, typed value slot) rows — a TYPED slot per source
+    // type, so min/max keep native ordering (no stringly compares) —
+    // then a partial-combined groupBy on (name, slots) ships only
+    // DISTINCT values through the shuffle, and a second tiny
+    // aggregate folds each column's distinct-value table into the
+    // profile row (nulls ride along as the all-slots-null value).
+    // This replaces both earlier forms: the stack()+3-distinct-aggs
+    // single aggregate (whose planner Expand multiplied every row 4×
+    // AND fell out of codegen) and the r8 three-scan union (3 jobs,
+    // lineitem×3 — 5.4 s isolated at 100× vs DuckDB's fused 0.8).
+    // Stringly min/max only for types whose string form is
+    // engine-identical (ints, dates, strings — no doubles).
+    // Contract note: on an EMPTY fact this emits zero rows where the
+    // oracle's scalar-agg legs emit one all-zero row per column —
+    // profiling an empty table is out of contract (the pipeline gates
+    // on _SUCCESS + rows>0 long before profiling).
     QueryDef.sql(
       "q81_profile_columns",
       """SELECT * FROM (
@@ -267,17 +298,36 @@ object ExtendedQueries {
         |  FROM lineitem)
         |ORDER BY column_name""".stripMargin) { (s, dir) =>
       val li = Tables(s, dir).lineitem
-      def profile(c: String) =
-        li.select(col(c)).agg(
-          (count(lit(1)) - count(col(c))).as("n_nulls"),
-          countDistinct(col(c)).as("n_distinct"),
-          min(col(c)).cast(StringType).as("min_s"),
-          max(col(c)).cast(StringType).as("max_s"))
-          .select(lit(c).as("column_name"), col("n_nulls"), col("n_distinct"),
-            col("min_s"), col("max_s"))
-      profile("l_orderkey")
-        .unionByName(profile("l_returnflag"))
-        .unionByName(profile("l_shipdate"))
+      val nullL = lit(null).cast(LongType)
+      val nullS = lit(null).cast(StringType)
+      val nullT = lit(null).cast(TimestampType)
+      val slots = explode(array(
+        struct(lit("l_orderkey").as("cn"),
+          col("l_orderkey").as("vl"), nullS.as("vs"), nullT.as("vt")),
+        struct(lit("l_returnflag").as("cn"),
+          nullL.as("vl"), col("l_returnflag").as("vs"), nullT.as("vt")),
+        struct(lit("l_shipdate").as("cn"),
+          nullL.as("vl"), nullS.as("vs"), col("l_shipdate").as("vt"))))
+      val perValue = li
+        .select(slots.as("s"))
+        .select(col("s.cn").as("cn"), col("s.vl").as("vl"),
+          col("s.vs").as("vs"), col("s.vt").as("vt"))
+        .groupBy(col("cn"), col("vl"), col("vs"), col("vt"))
+        .agg(count(lit(1)).as("cnt"))
+      val isNullVal = col("vl").isNull && col("vs").isNull && col("vt").isNull
+      perValue
+        .groupBy(col("cn").as("column_name"))
+        .agg(
+          sum(when(isNullVal, col("cnt")).otherwise(0L)).as("n_nulls"),
+          count(when(!isNullVal, 1)).as("n_distinct"),
+          min(col("vl")).as("min_l"), max(col("vl")).as("max_l"),
+          min(col("vs")).as("min_v"), max(col("vs")).as("max_v"),
+          min(col("vt")).as("min_t"), max(col("vt")).as("max_t"))
+        .select(col("column_name"), col("n_nulls"), col("n_distinct"),
+          coalesce(col("min_l").cast(StringType), col("min_v"),
+            col("min_t").cast(StringType)).as("min_s"),
+          coalesce(col("max_l").cast(StringType), col("max_v"),
+            col("max_t").cast(StringType)).as("max_s"))
         .orderBy(col("column_name"))
     },
 

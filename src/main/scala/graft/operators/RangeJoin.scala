@@ -74,15 +74,40 @@ object RangeJoin {
       .drop("__bucket")
   }
 
+  /** Absolute plan-stats ceiling for [[withinGapBroadcast]]'s build
+    * side — the deployment-aware bound is [[broadcastStatsMaxBytes]];
+    * this constant only caps it on very large drivers.
+    */
+  val BroadcastStatsMaxBytes: Long = 1L << 30
+
   /** Plan-stats ceiling for [[withinGapBroadcast]]'s build side: under
     * it the un-replicated right side is broadcast-sized (the 100×
     * events table reads ~211 MB of parquet → a ~10M-row compact
-    * hashed relation, well inside Spark's broadcast limits); above it
-    * the caller must take the shuffled [[withinGap]] plan. A
-    * deliberately conservative 1 GB — the knob exists so callers
-    * dispatch adaptively, not so anyone broadcasts a fact table.
+    * hashed relation); above it the caller must take the shuffled
+    * [[withinGap]] plan. DERIVED from the session, not a constant
+    * (r13, ADVICE): plan stats measure COMPRESSED parquet while the
+    * broadcast collects rows to the driver under
+    * `spark.driver.maxResultSize` and expands several-fold in the
+    * hashed relation — so the ceiling is maxResultSize/4 (a 4×
+    * decompression allowance keeps the collect itself under the
+    * driver's own limit; default 1g/4 = 256 MB, still above the
+    * shipped 100× events stats), capped at 1 GB however large the
+    * driver. `graft.rangeJoin.broadcastStatsMaxBytes` overrides for
+    * deployments that know their data. Misdispatch is performance,
+    * not correctness — both tiers are exact — but the conservative
+    * bound keeps the chosen plan RUNNABLE, never one that dies on
+    * the driver mid-collect.
     */
-  val BroadcastStatsMaxBytes: Long = 1L << 30
+  def broadcastStatsMaxBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.rangeJoin.broadcastStatsMaxBytes")
+      .map(_.toLong)
+      .getOrElse {
+        val maxResult = spark.sparkContext.getConf
+          .getSizeAsBytes("spark.driver.maxResultSize", "1g")
+        // maxResultSize = 0 means "unlimited" — fall back to the cap
+        if (maxResult <= 0) BroadcastStatsMaxBytes
+        else math.min(BroadcastStatsMaxBytes, maxResult / 4)
+      }
 
   /** [[withinGap]] with the sides FLIPPED onto a broadcast hash join:
     * the right side is broadcast compact (one row, exact bucket), and
@@ -102,7 +127,7 @@ object RangeJoin {
     * exchange (the q48 exchange-before-expansion pattern applied to a
     * join: q67's 517M-row output sort was ~91 s of its 95 s at 100×,
     * all of it the exchange of expanded rows). Dispatch on
-    * [[BroadcastStatsMaxBytes]]; the shuffled plan stays the
+    * [[broadcastStatsMaxBytes]]; the shuffled plan stays the
     * unbounded-scale tier.
     */
   def withinGapBroadcast(
