@@ -56,9 +56,6 @@ object ScanBudgets {
     "q61_embedding_neardup_lsh" -> Map("embeddings" -> 2),
     // as-of style range self-join of events
     "q67_event_range_join" -> Map("events" -> 2),
-    // EXPLODE-RECOMPUTE: token stream feeds the CMS candidate pass and
-    // the exact-confirm semi-join pass
-    "q90_cms_topk_tokens" -> Map("documents" -> 2),
     // corpus scan + quality rescore of survivors (pair table is the
     // persisted part — pinned by the q97 cache-share spec)
     "q97_neardup_triangles" -> Map("documents" -> 2),
@@ -95,8 +92,10 @@ object ScanBudgets {
     "q79_kmeans_step" -> Map("embeddings" -> 2),
     // unigram LM: vocabulary + token counts (model) + per-doc apply
     "q86_unigram_logprob" -> Map("documents" -> 3),
-    // GK sketch leg + exact percentile gate leg
-    "q89_percentile_sketch" -> Map("lineitem" -> 2),
+    // count-table driver tier (r13): the returned frame is
+    // driver-assembled; the one fact scan is the count-table cache
+    // build under the probe/sketch actions (declared below)
+    "q89_percentile_sketch" -> Map("lineitem" -> 0),
     // bloom build over train split + probe pass + survivor projection
     "q99_bloom_decontam" -> Map("documents" -> 3),
     "q72_decontamination" -> Map("documents" -> 3),
@@ -181,6 +180,10 @@ object ScanBudgets {
     "q103_retention_lsh" -> Map("documents" -> 3),
     // MODEL-ACTION: bloom build aggregate scans the eval split once
     "q99_bloom_decontam" -> Map("documents" -> 1),
+    // COUNT-TABLE driver tier (r13): the (flag, price) count-table
+    // cache materializes once under the probe collect; the sketch
+    // action re-reads the cache (ledger dedups the build)
+    "q89_percentile_sketch" -> Map("lineitem" -> 1),
     // RANK-PASS: count pre-pass + one data pass; returned plan scans 0
     "q116_equidepth_hist" -> Map("lineitem" -> 2)
   )

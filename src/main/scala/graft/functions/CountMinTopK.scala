@@ -23,10 +23,19 @@ import scala.collection.mutable
   * would sort the map on EVERY row once saturated) and ≤ 8k after a
   * merge, so the driver never sees more than a bounded set per group.
   */
-class CountMinTopK(k: Int, depth: Int = 4, width: Int = 512)
-  extends Aggregator[String, CountMinTopK.Buf, Seq[(String, Long)]] {
+abstract class CountMinTopKBase[IN](k: Int, depth: Int, width: Int)
+  extends Aggregator[IN, CountMinTopK.Buf, Seq[(String, Long)]] {
 
   import CountMinTopK._
+
+  /** Key and non-negative weight of one input row: the plain form is
+    * (value, 1); the weighted form consumes pre-combined
+    * (value, partial count) rows — CMS updates are additive, so the
+    * merged sketch (and therefore every estimate) is IDENTICAL to
+    * feeding the expansion row by row (pinned in CountMinTopKSpec).
+    */
+  protected def keyOf(a: IN): String
+  protected def weightOf(a: IN): Long
 
   private val cap = math.max(8 * k, 16)
 
@@ -67,9 +76,10 @@ class CountMinTopK(k: Int, depth: Int = 4, width: Int = 512)
       b.cand.clear(); b.cand ++= keep
     }
 
-  override def reduce(b: Buf, a: String): Buf = {
-    add(b, a, 1L)
-    b.cand.update(a, estimate(b, a))
+  override def reduce(b: Buf, a: IN): Buf = {
+    val s = keyOf(a)
+    add(b, s, weightOf(a))
+    b.cand.update(s, estimate(b, s))
     prune(b, 2 * cap)
     b
   }
@@ -92,6 +102,25 @@ class CountMinTopK(k: Int, depth: Int = 4, width: Int = 512)
 
   override def outputEncoder: Encoder[Seq[(String, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
+}
+
+/** Unweighted heavy hitters over a raw value stream. */
+class CountMinTopK(k: Int, depth: Int = 4, width: Int = 512)
+  extends CountMinTopKBase[String](k, depth, width) {
+  override protected def keyOf(a: String): String = a
+  override protected def weightOf(a: String): Long = 1L
+}
+
+/** Weighted heavy hitters over (value, partial count) rows — the form
+  * a map-side-combined token stream feeds (q90): the sketch still
+  * bounds memory at depth×width counters regardless of vocabulary,
+  * it just ingests each partition's pre-summed counts instead of the
+  * row-by-row expansion.
+  */
+class CountMinTopKWeighted(k: Int, depth: Int = 4, width: Int = 512)
+  extends CountMinTopKBase[(String, Long)](k, depth, width) {
+  override protected def keyOf(a: (String, Long)): String = a._1
+  override protected def weightOf(a: (String, Long)): Long = a._2
 }
 
 object CountMinTopK {

@@ -91,6 +91,68 @@ object TextKernels {
     h
   }
 
+  /** Count of matches of the BPE pre-split pattern
+    * `[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]` ==
+    * `size(regexp_extract_all(s, ...))` — the q65 subword counter,
+    * without the regex interpreter (the q73 precedent: a hand-rolled
+    * scanner over the exact character classes, ~6× the interpreted
+    * `regexp_extract_all` pass at corpus scale).
+    *
+    * Byte-level equivalence to Java regex (which matches per CODE
+    * POINT): an ASCII letter opens a maximal letter run (+1), an
+    * ASCII digit counts alone (+1), 0x20 matches nothing, and any
+    * other code point hits the third alternative (+1) — counted at
+    * its UTF-8 lead byte with continuation bytes (0x80–0xBF) skipped,
+    * so a multi-byte character (including a surrogate pair, one code
+    * point to `java.util.regex`) counts exactly once. Fuzz-pinned
+    * against `java.util.regex` in TextKernelsSpec, ASCII and
+    * non-ASCII inputs.
+    */
+  def subwordCount(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    var c = 0
+    var i = 0
+    while (i < nb) {
+      val b = bytes(i) & 0xff
+      if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) {
+        c += 1
+        i += 1
+        var run = true
+        while (run && i < nb) {
+          val x = bytes(i) & 0xff
+          if ((x >= 'A' && x <= 'Z') || (x >= 'a' && x <= 'z')) i += 1
+          else run = false
+        }
+      } else if (b == 0x20 || (b >= 0x80 && b < 0xc0)) {
+        // space matches no alternative; a continuation byte belongs to
+        // a code point already counted at its lead byte
+        i += 1
+      } else {
+        // digit, ASCII punctuation, or a multi-byte lead byte: one match
+        c += 1
+        i += 1
+      }
+    }
+    c
+  }
+
+  /** `size(split(s, ' '))` without materializing the array: Spark's
+    * `split` keeps trailing empty strings (limit −1), so the token
+    * count is exactly (number of 0x20 bytes) + 1 — 0x20 never occurs
+    * inside a multi-byte UTF-8 sequence.
+    */
+  def spaceTokenCount(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    var c = 1
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) c += 1
+      i += 1
+    }
+    c
+  }
+
   def wordShingles(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.getBytes // copy only when the UTF8String is offset into a larger buffer
     val nb = bytes.length
@@ -204,6 +266,51 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
     copy(child = newChild)
+}
+
+/** Integer kernel base: null-safe string→int, one static call per row
+  * inside whole-stage codegen.
+  */
+abstract class IntTextKernelExpression extends UnaryExpression {
+  def kernelName: String
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input, got $other")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.$kernelName($c)")
+}
+
+/** See [[TextKernels.subwordCount]]. */
+case class SubwordCount(child: Expression) extends IntTextKernelExpression {
+  override def kernelName: String = "subwordCount"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.subwordCount(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): SubwordCount =
+    copy(child = newChild)
+}
+
+/** See [[TextKernels.spaceTokenCount]]. */
+case class SpaceTokenCount(child: Expression) extends IntTextKernelExpression {
+  override def kernelName: String = "spaceTokenCount"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.spaceTokenCount(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): SpaceTokenCount =
+    copy(child = newChild)
+}
+
+object SubwordCount {
+  def apply(text: Column): Column =
+    ColumnBridge.column(SubwordCount(ColumnBridge.expression(text)))
+}
+
+object SpaceTokenCount {
+  def apply(text: Column): Column =
+    ColumnBridge.column(SpaceTokenCount(ColumnBridge.expression(text)))
 }
 
 object CharNgramsDistinct {

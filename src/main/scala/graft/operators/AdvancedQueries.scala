@@ -450,15 +450,30 @@ object AdvancedQueries {
 
     // ------------------------------------------------------------------
     // q90 — the CountMinTopK sketch as a driver-checked operator: the
-    // bounded-memory twin of q68's exact TopKByCount, run as the
-    // two-pass pattern a 100 TB vocabulary needs — (1) CMS pass with
-    // depth×width counters per partition REGARDLESS of key cardinality
-    // emits an oversampled candidate set (top-40 per language for a
-    // top-10 answer), (2) candidates-only exact recount (a semi-join
-    // against a tiny broadcast set) + rank. The final answer is EXACT
-    // whenever the candidates cover the true top-10 — which is the
-    // heavy-hitter regime the sketch guarantees — so it hash-matches
-    // the plain exact oracle; a recall failure breaks the hash.
+    // bounded-memory twin of q68's exact TopKByCount — (1) CMS pass
+    // with depth×width counters REGARDLESS of key cardinality emits an
+    // oversampled candidate set (top-40 per language for a top-10
+    // answer), (2) candidates-only exact recount + rank. The final
+    // answer is EXACT whenever the candidates cover the true top-10 —
+    // the heavy-hitter regime the sketch guarantees — so it
+    // hash-matches the plain exact oracle; a recall failure breaks the
+    // hash. ONE tokenization (r13; the two-pass form re-paid the
+    // dominant split/explode cost for the recount, ScanBudgets pinned
+    // documents×2): the token stream folds once into per-partition
+    // (lang, token, partial count) rows — the map-side combine ANY
+    // exact recount must produce, keyed by spark_partition_id so no
+    // cross-partition merge happens — cached at vocabulary×partitions
+    // size (≪ token stream; persisting the raw exploded stream
+    // measured SLOWER than recomputing it, the q110 precedent). The
+    // CMS then ingests the partials WEIGHTED (additive updates ⇒ the
+    // merged sketch is bit-identical to row-by-row expansion, pinned
+    // in CountMinTopKSpec) keeping its bounded-memory contract, and
+    // the exact recount is a candidate semi-join + sum over the same
+    // cached partials. For a truly unbounded vocabulary where even
+    // per-partition partials exceed memory-per-task, the old
+    // two-tokenize form (re-scan with a broadcast candidate filter)
+    // remains the spill-free fallback shape — a deliberate
+    // cache-vs-recompute trade, not a correctness tier.
     QueryDef.sql(
       "q90_cms_topk_tokens",
       """WITH tok AS (SELECT lang, unnest(string_split(text,' ')) AS token FROM documents),
@@ -468,17 +483,21 @@ object AdvancedQueries {
         |SELECT lang, CAST(rk AS INTEGER) AS rk, token, n
         |FROM ranked WHERE rk <= 10 ORDER BY lang, rk""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val pairs = Tables(s, dir).documentsSpread
-        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
-      val cand = pairs.as[(String, String)]
-        .groupByKey(_._1).mapValues(_._2)
-        .agg(new graft.functions.CountMinTopK(40).toColumn.name("cand"))
+      val partials = graft.CacheScope.scoped(
+        Tables(s, dir).documentsSpread
+          .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+          .groupBy(spark_partition_id().as("__pid"), col("lang"), col("token"))
+          .agg(count(lit(1)).as("pc")))
+      val cand = partials.select(col("lang"), col("token"), col("pc"))
+        .as[(String, String, Long)]
+        .groupByKey(_._1).mapValues(r => (r._2, r._3))
+        .agg(new graft.functions.CountMinTopKWeighted(40).toColumn.name("cand"))
         .toDF("lang", "cand")
         .select(col("lang"), explode(col("cand._1")).as("token"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang")).orderBy(col("n").desc, col("token"))
-      pairs.join(broadcast(cand), Seq("lang", "token"), "left_semi")
-        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+      partials.join(broadcast(cand), Seq("lang", "token"), "left_semi")
+        .groupBy(col("lang"), col("token")).agg(sum(col("pc")).as("n"))
         .withColumn("rk", row_number().over(w).cast("int"))
         .filter(col("rk") <= 10)
         .select(col("lang"), col("rk"), col("token"), col("n"))

@@ -84,20 +84,14 @@ object AnalyticsQueries {
       val k = 4
       val o = Tables(s, dir).orders.select(col("o_orderkey"), col("o_totalprice"))
       // ntile needs only the k−1 BUCKET BOUNDARIES, not a global rank
-      // on every row (r12): aggregate to the per-price count table
-      // (map-side combined, replica-invariant — ~150k distinct prices
-      // at sf0.1 AND 100×), walk it on the driver to the boundary
-      // (price, within-tie-offset) cuts, resolve each cut's exact
-      // orderkey from its tie block (a pushed-IN-filter sliver scan —
-      // blocks are ~rows/distinct ≈ 100 rows at 100×), and assign
-      // buckets with PURE LITERAL comparisons — no row ever carries a
-      // rank, no offsets join. Output order rides the q48 pattern:
-      // range-exchange the narrow source rows on o_orderkey before
-      // the assignment projection, sort within partitions. vs the
-      // rank form: one full-data exchange + offsets join + a second
-      // full-data ORDER BY exchange replaced by ONE narrow exchange.
-      // Wide price domains (probe > 1M distinct) or degenerate inputs
-      // fall back to the exact rank form below.
+      // on every row: [[DistributedRank.ntileByCuts]] (r12, factored
+      // out r13 so NtileCutsSpec can force the path — it was only
+      // reachable above the stats gate, so fixtures never exercised
+      // it). vs the rank form: one full-data exchange + offsets join +
+      // a second full-data ORDER BY exchange replaced by ONE narrow
+      // exchange. Wide price domains (probe > 1M distinct), NULLs,
+      // degenerate inputs, and duplicated-full-key cut blocks fall
+      // back to the exact rank form below (the kernel returns None).
       // stats gate: below the 64 MB plan-stats ceiling the window-rank
       // fallback is already one cheap job (sf0.1 measured 0.55 s vs
       // the boundary path's 1.2 — the count-table collect is pure
@@ -105,58 +99,9 @@ object AnalyticsQueries {
       // boundary path is for data that has outgrown that
       val statsSmall = o.queryExecution.optimizedPlan.stats.sizeInBytes <=
         DistributedRank.SmallStatsBytes
-      lazy val vc = CacheScope.scoped(
-        o.groupBy(col("o_totalprice")).agg(count(lit(1)).as("__cnt")))
-      lazy val probe = vc.limit(DistributedRank.DefaultMaxDriverRows + 1).collect()
       val driverPath =
-        if (statsSmall ||
-            probe.length > DistributedRank.DefaultMaxDriverRows ||
-            probe.exists(_.isNullAt(0))) None
-        else {
-          val sorted = probe.sortBy(_.getDouble(0))
-          val n = sorted.iterator.map(_.getLong(1)).sum
-          if (n < 4L * k) None // tiny inputs: duplicate cut ranks possible
-          else {
-            val q = n / k; val r = n % k
-            // cumulative row count at the END of buckets 1..k−1
-            val cutRanks = (1 until k).map(i =>
-              if (i <= r) i * (q + 1) else r * (q + 1) + (i - r) * q)
-            var acc = 0L; var j = 0
-            val cuts = cutRanks.map { t =>
-              while (acc + sorted(j).getLong(1) < t) {
-                acc += sorted(j).getLong(1); j += 1
-              }
-              (sorted(j).getDouble(0), t - acc, sorted(j).getLong(1))
-            }
-            // exact orderkey at each mid-block cut: off-th smallest key
-            // in the boundary tie block (whole-block cuts need none)
-            val needKeys = cuts.filter { case (_, off, cnt) => off < cnt }
-            val tieKeys: Map[Double, Array[Long]] =
-              if (needKeys.isEmpty) Map.empty
-              else o.filter(col("o_totalprice")
-                  .isin(needKeys.map(_._1).distinct: _*))
-                .collect()
-                .groupBy(_.getDouble(1))
-                .map { case (p, rs) => p -> rs.map(_.getLong(0)).sorted }
-            val conds = cuts.map { case (p, off, cnt) =>
-              if (off >= cnt) col("o_totalprice") <= p
-              else {
-                val keyCut = tieKeys(p)(off.toInt - 1)
-                col("o_totalprice") < p ||
-                  (col("o_totalprice") === p && col("o_orderkey") <= keyCut)
-              }
-            }
-            val quartile = conds.zipWithIndex.reverse
-              .foldLeft(lit(k): org.apache.spark.sql.Column) {
-                case (e, (c, i)) => when(c, i + 1).otherwise(e)
-              }
-            Some(o
-              .repartitionByRange(col("o_orderkey"))
-              .select(col("o_orderkey"),
-                quartile.cast(IntegerType).as("quartile"))
-              .sortWithinPartitions(col("o_orderkey")))
-          }
-        }
+        if (statsSmall) None
+        else DistributedRank.ntileByCuts(o, "o_totalprice", "o_orderkey", k, "quartile")
       driverPath.getOrElse {
         val nRow = o.agg(count(lit(1)).as("n"))
         val ranked = DistributedRank.rowNumberAdaptive(o,
@@ -642,11 +587,22 @@ object AnalyticsQueries {
     // self-judging rank gate: the sketch's outputs cannot hash-match a
     // different engine value-for-value, but its Greenwald–Khanna
     // contract is deterministic — every returned value must hold a
-    // rank within n/accuracy of p·n. The Spark side re-ranks the 4
-    // sketch outputs EXACTLY (one broadcast join back over the data)
-    // and emits the bound checks as booleans; the oracle emits literal
-    // TRUE. A sketch regression (wrong merge, bad accuracy plumbing)
-    // flips a boolean and breaks the hash. Exact companion: q84.
+    // rank within n/accuracy of p·n. The sketch is exercised for real
+    // (percentile_approx ingests all n prices), and the bound checks
+    // come from the q84/q95 (flag, price) COUNT TABLE instead of a
+    // second fact scan + broadcast join-back (r13, the r12 verdict's
+    // named fix — the re-rank pass re-paid the whole scan for counts
+    // the count table already held): ONE map-side-combined fact scan
+    // builds the table; the sketch pass re-expands it to the exact
+    // value multiset via explode(sequence) — generated from the cached
+    // ~distinct-values rows, never the parquet — and the rank
+    // intervals count(<v)/count(≤v) fold on the driver from the same
+    // collected table (replica-invariant, so the tier keeps firing at
+    // 100×). GK's bound holds for ANY insert order, so grouping equal
+    // values back-to-back cannot flip a boolean. Wider value domains
+    // (probe > 1M distinct) fall back to the two-scan join-back form.
+    // A sketch regression (wrong merge, bad accuracy plumbing) flips
+    // a boolean and breaks the hash. Exact companion: q84.
     QueryDef.sql(
       "q89_percentile_sketch",
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
@@ -655,33 +611,88 @@ object AnalyticsQueries {
       val acc = 1000 // rank error ≤ n/1000 per the percentile_approx contract
       val ps = Seq(0.25 -> "25", 0.50 -> "50", 0.75 -> "75", 0.95 -> "95")
       val li = Tables(s, dir).lineitem.select(col("l_returnflag"), col("l_extendedprice"))
-      val sk = li.groupBy(col("l_returnflag"))
-        .agg(percentile_approx(
-          col("l_extendedprice"),
-          array(ps.map(p => lit(p._1)): _*), lit(acc)).as("ap"))
+      def sketch(rows: org.apache.spark.sql.DataFrame) =
+        rows.groupBy(col("l_returnflag"))
+          .agg(percentile_approx(
+            col("l_extendedprice"),
+            array(ps.map(p => lit(p._1)): _*), lit(acc)).as("ap"))
       // Exact rank interval of each sketch output: with ties the value v
       // occupies ranks [count(<v)+1, count(<=v)]; the guarantee holds iff
       // that interval overlaps [(p - 1/acc)·n - 1, (p + 1/acc)·n + 1].
       // The ±1 covers the sketch's integer rank targeting (observed:
       // rank error 2.0 vs ε·n = 1.962 at sf0.001 — truncation, not a
       // contract breach).
-      val agg0 = li.join(broadcast(sk), "l_returnflag")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          count(lit(1)).as("n"),
-          ps.zipWithIndex.flatMap { case ((_, nm), i) =>
-            Seq(
-              sum(when(col("l_extendedprice") < col("ap")(i), 1L).otherwise(0L)).as(s"lt$nm"),
-              sum(when(col("l_extendedprice") <= col("ap")(i), 1L).otherwise(0L)).as(s"le$nm"))
-          }: _*)
-      val checks = ps.map { case (p, nm) =>
-        val loBound = (lit(p) - lit(1.0) / acc) * col("n").cast(DoubleType) - 1
-        val hiBound = (lit(p) + lit(1.0) / acc) * col("n").cast(DoubleType) + 1
-        ((col(s"lt$nm") + 1).cast(DoubleType) <= hiBound &&
-          col(s"le$nm").cast(DoubleType) >= loBound).as(s"ok$nm")
+      def okFlags(n: Long, lt: Array[Long], le: Array[Long]): Seq[Boolean] =
+        ps.zipWithIndex.map { case ((p, _), i) =>
+          val loBound = (p - 1.0 / acc) * n.toDouble - 1
+          val hiBound = (p + 1.0 / acc) * n.toDouble + 1
+          (lt(i) + 1).toDouble <= hiBound && le(i).toDouble >= loBound
+        }
+      val maxDriverRows = DistributedRank.DefaultMaxDriverRows
+      val vc = CacheScope.scoped(
+        li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+          .agg(count(lit(1)).as("__cnt")))
+      val probe = vc.limit(maxDriverRows + 1).collect()
+      if (probe.length <= maxDriverRows) {
+        // sketch over the exact value multiset, regenerated from the
+        // cached count table (no second parquet scan); nulls (absent
+        // here, but defensively) contribute to n and never to the
+        // sketch or the comparisons — matching the join-back form
+        val skRows = sketch(vc.filter(col("l_extendedprice").isNotNull)
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            explode(sequence(lit(1L), col("__cnt"))).as("__i")))
+          .collect()
+          .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+        val out = probe.groupBy(_.getString(0)).toSeq.map { case (rf, rows) =>
+          val n = rows.iterator.map(_.getLong(2)).sum
+          // a group whose prices are all NULL never reaches the sketch:
+          // lt/le stay 0, matching the join-back form's null-ap sums
+          val ap = skRows.get(rf).orNull
+          val lt = new Array[Long](ps.size)
+          val le = new Array[Long](ps.size)
+          if (ap != null) rows.foreach { r =>
+            if (!r.isNullAt(1)) {
+              val v = r.getDouble(1); val c = r.getLong(2)
+              var i = 0
+              while (i < ps.size) {
+                if (v < ap(i)) lt(i) += c
+                if (v <= ap(i)) le(i) += c
+                i += 1
+              }
+            }
+          }
+          val oks = okFlags(n, lt, le)
+          org.apache.spark.sql.Row.fromSeq(rf +: n +: oks)
+        }
+        val schema = org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("l_returnflag",
+            org.apache.spark.sql.types.StringType) +:
+          org.apache.spark.sql.types.StructField("n", LongType, nullable = false) +:
+          ps.map { case (_, nm) => org.apache.spark.sql.types.StructField(
+            s"ok$nm", org.apache.spark.sql.types.BooleanType, nullable = false) })
+        s.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+          .orderBy(col("l_returnflag"))
+      } else {
+        // distributed fallback: sketch over the raw fact, exact
+        // re-rank via the broadcast join-back (the pre-r13 form)
+        val agg0 = li.join(broadcast(sketch(li)), "l_returnflag")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            ps.zipWithIndex.flatMap { case ((_, nm), i) =>
+              Seq(
+                sum(when(col("l_extendedprice") < col("ap")(i), 1L).otherwise(0L)).as(s"lt$nm"),
+                sum(when(col("l_extendedprice") <= col("ap")(i), 1L).otherwise(0L)).as(s"le$nm"))
+            }: _*)
+        val checks = ps.map { case (p, nm) =>
+          val loBound = (lit(p) - lit(1.0) / acc) * col("n").cast(DoubleType) - 1
+          val hiBound = (lit(p) + lit(1.0) / acc) * col("n").cast(DoubleType) + 1
+          ((col(s"lt$nm") + 1).cast(DoubleType) <= hiBound &&
+            col(s"le$nm").cast(DoubleType) >= loBound).as(s"ok$nm")
+        }
+        agg0.select(col("l_returnflag") +: col("n") +: checks: _*)
+          .orderBy(col("l_returnflag"))
       }
-      agg0.select(col("l_returnflag") +: col("n") +: checks: _*)
-        .orderBy(col("l_returnflag"))
     },
 
     // ------------------------------------------------------------------

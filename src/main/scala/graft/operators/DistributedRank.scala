@@ -763,6 +763,107 @@ object DistributedRank {
     if (statsBytes <= SmallStatsBytes) 0L else df.count()
   }
 
+  /** Rank-free global ntile via boundary cuts (the q46 shape, factored
+    * here in r13 so the path is directly forceable by a spec instead
+    * of reachable only above q46's 64 MB stats gate):
+    * `ntile(k) OVER (ORDER BY value, key)` needs only the k−1 BUCKET
+    * BOUNDARIES, never a per-row rank. Aggregate to the per-value
+    * count table (map-side combined, replica-invariant), walk it on
+    * the driver to the (value, within-tie-offset) cuts, resolve each
+    * mid-block cut's exact key from its tie block (a pushed-IN-filter
+    * sliver scan — blocks are ~rows/distinct-values), and assign
+    * buckets with PURE LITERAL comparisons. Output order rides the
+    * narrow rows: range-exchange on `keyCol` before the assignment
+    * projection, sort within partitions — equal to the caller's
+    * `ORDER BY keyCol` with no post-assignment exchange.
+    *
+    * Returns None — caller falls back to the exact rank form — when:
+    *   - the value domain overflows `maxDriverRows` distinct values,
+    *     or contains NULLs (rank semantics for NULL ordering stay with
+    *     the window form);
+    *   - the input is tiny (n < 4k: duplicate cut ranks possible);
+    *   - a boundary tie block contains DUPLICATE (value, key) rows
+    *     straddling a cut: the literal predicate `key <= keyCut` would
+    *     put ALL duplicates in the lower bucket, breaking ntile's
+    *     size-within-1 contract (the r12 ADVICE hole — with duplicated
+    *     full keys the window form's within-tie assignment is the only
+    *     faithful one). Detected exactly on the driver: the cut is
+    *     safe iff |{keys ≤ keyCut}| == offset within its block.
+    *
+    * `df` must be exactly (keyCol: long, valueCol: double) — the q46
+    * projection. NtileCutsSpec pins multiset equality against the
+    * ntile window form on clean, tied, and duplicated-full-key inputs.
+    */
+  def ntileByCuts(
+      df: DataFrame,
+      valueCol: String,
+      keyCol: String,
+      k: Int,
+      outCol: String,
+      maxDriverRows: Int = DefaultMaxDriverRows): Option[DataFrame] = {
+    val vc = graft.CacheScope.scoped(
+      df.groupBy(col(valueCol)).agg(count(lit(1)).as("__cnt")))
+    val probe = vc.limit(maxDriverRows + 1).collect()
+    if (probe.length > maxDriverRows || probe.exists(_.isNullAt(0))) None
+    else {
+      val sorted = probe.sortBy(_.getDouble(0))
+      val n = sorted.iterator.map(_.getLong(1)).sum
+      if (n < 4L * k) None // tiny inputs: duplicate cut ranks possible
+      else {
+        val q = n / k; val r = n % k
+        // cumulative row count at the END of buckets 1..k−1
+        val cutRanks = (1 until k).map(i =>
+          if (i <= r) i * (q + 1) else r * (q + 1) + (i - r) * q)
+        var acc = 0L; var j = 0
+        val cuts = cutRanks.map { t =>
+          while (acc + sorted(j).getLong(1) < t) {
+            acc += sorted(j).getLong(1); j += 1
+          }
+          (sorted(j).getDouble(0), t - acc, sorted(j).getLong(1))
+        }
+        // exact key at each mid-block cut: off-th smallest key in the
+        // boundary tie block (whole-block cuts need none)
+        val needKeys = cuts.filter { case (_, off, cnt) => off < cnt }
+        val tieKeys: Map[Double, Array[Long]] =
+          if (needKeys.isEmpty) Map.empty
+          else df.filter(col(valueCol)
+              .isin(needKeys.map(_._1).distinct: _*))
+            .select(col(keyCol), col(valueCol))
+            .collect()
+            .groupBy(_.getDouble(1))
+            .map { case (p, rs) => p -> rs.map(_.getLong(0)).sorted }
+        // dup-key safety: every mid-block cut must split EXACTLY at
+        // its offset; a duplicated (value, key) run straddling the cut
+        // cannot be split by a per-row predicate
+        val unsafe = needKeys.exists { case (p, off, _) =>
+          val keys = tieKeys(p)
+          val keyCut = keys(off.toInt - 1)
+          keys.count(_ <= keyCut).toLong != off
+        }
+        if (unsafe) None
+        else {
+          val conds = cuts.map { case (p, off, cnt) =>
+            if (off >= cnt) col(valueCol) <= p
+            else {
+              val keyCut = tieKeys(p)(off.toInt - 1)
+              col(valueCol) < p ||
+                (col(valueCol) === p && col(keyCol) <= keyCut)
+            }
+          }
+          val bucket = conds.zipWithIndex.reverse
+            .foldLeft(lit(k): org.apache.spark.sql.Column) {
+              case (e, (c, i)) => when(c, i + 1).otherwise(e)
+            }
+          Some(df
+            .repartitionByRange(col(keyCol))
+            .select(col(keyCol),
+              bucket.cast(org.apache.spark.sql.types.IntegerType).as(outCol))
+            .sortWithinPartitions(col(keyCol)))
+        }
+      }
+    }
+  }
+
   /** Size-adaptive rank selection: [[valuesAtRanks]] (row-level
     * range sort, wins while the data fits a few balanced sort
     * partitions) below [[SortSelectionMaxRows]], [[valuesAtRanksByValue]]

@@ -370,11 +370,25 @@ object ExtendedQueries {
     // q108 — referential-integrity audit: orphan counts for the three
     // core fact→dim relationships, the constraint check a warehouse
     // runs after every load (lakes don't enforce foreign keys — you
-    // audit them). Orphans via LEFT ANTI join against the DISTINCT
-    // parent key set: the parent side collapses to its key cardinality
-    // before the join (broadcastable for dims), the fact side streams
-    // through once, and a NULL child key counts as an orphan on both
-    // engines (anti join and NOT EXISTS agree: null matches nothing).
+    // audit them). Dim-sized parents (customer) go through a plain
+    // LEFT ANTI against the distinct parent key set — already a
+    // broadcast hash anti, no shuffle. Fact-sized parents
+    // (lineitem→orders at 100×: 60M child keys anti 15M parent keys
+    // was a two-sided SMJ shuffle) take the q99 bloom-semi-join shape
+    // instead (r13): build a bloom over the parent keys (one driver
+    // aggregate action), then ONE child pass counts rows + DEFINITE
+    // orphans (bloom `false` is one-sided-exact absence — no join at
+    // all) + surviving candidate rows; the survivors (false positives
+    // + true orphans, fpp-bounded) collapse to a keyed count table and
+    // verify EXACTLY — when they fit a broadcast, by probing the
+    // parent scan map-side (the parent never shuffles); an
+    // orphan-heavy child overflowing that gate falls back to a
+    // shuffled anti of the (already collapsed) survivor keys. The
+    // composed operator stays exact at any fpp; a NULL child key
+    // counts as an orphan on both engines (anti join and NOT EXISTS
+    // agree: null matches nothing). `graft.ri.bloomThresholdBytes`
+    // overrides the stats dispatch so the spec can force the bloom
+    // path at fixture scale (RefIntegritySpec pins path equality).
     QueryDef.sql(
       "q108_ref_integrity",
       """SELECT * FROM (
@@ -394,14 +408,68 @@ object ExtendedQueries {
         |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)))
         |ORDER BY rel""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
-      def audit(name: String, child: org.apache.spark.sql.DataFrame, ck: String,
-          parent: org.apache.spark.sql.DataFrame, pk: String) = {
+      // a parent whose projected key column outgrows this is "fact
+      // sized": its anti-join side would shuffle instead of broadcast,
+      // so the bloom prefilter pays. Default = the session's own
+      // broadcast ceiling; the spec overrides to 0 to force the path.
+      val bloomThreshold = s.conf.getOption("graft.ri.bloomThresholdBytes")
+        .map(_.toLong)
+        .getOrElse(math.max(s.sessionState.conf.autoBroadcastJoinThreshold, 0L))
+      def plainAudit(name: String, child: org.apache.spark.sql.DataFrame, ck: String,
+          parentKeys: org.apache.spark.sql.DataFrame) = {
         val total = child.agg(count(lit(1)).as("n_rows"))
         val orphans = child.select(col(ck).as("k"))
-          .join(parent.select(col(pk).as("k")).distinct(), Seq("k"), "left_anti")
+          .join(parentKeys.distinct(), Seq("k"), "left_anti")
           .agg(count(lit(1)).as("n_orphans"))
         total.crossJoin(orphans)
           .select(lit(name).as("rel"), col("n_rows"), col("n_orphans"))
+      }
+      def bloomAudit(name: String, child: org.apache.spark.sql.DataFrame, ck: String,
+          parentKeys: org.apache.spark.sql.DataFrame, parentStats: BigInt) = {
+        // sized from plan stats (a count job would re-pay the parent
+        // scan); an undercount only raises fpp — more survivors to
+        // verify, never a wrong answer
+        val expected = (parentStats.toLong / 8L)
+          .max(1L << 20).min(1L << 27)
+        val bloom = parentKeys.stat.bloomFilter("k", expected, 0.01)
+        val bc = s.sparkContext.broadcast(bloom)
+        val might = graft.functions.BloomMightContainLong(col("k"), bc)
+        val base = child.select(col(ck).as("k"))
+        val head = base.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("k").isNull || !might, 1L).otherwise(0L)).as("definite"),
+          sum(when(col("k").isNotNull && might, 1L).otherwise(0L)).as("maybe_rows"))
+          .head()
+        val nRows = head.getLong(0)
+        val definite = if (head.isNullAt(1)) 0L else head.getLong(1)
+        val maybeRows = if (head.isNullAt(2)) 0L else head.getLong(2)
+        val maybeKeys = graft.CacheScope.scoped(
+          base.filter(col("k").isNotNull && might)
+            .groupBy(col("k")).agg(count(lit(1)).as("c")))
+        // ≤4M survivor keys broadcast (~tens of MB hashed); the parent
+        // scan probes them map-side and never shuffles
+        val maxBroadcastSurvivors = s.conf
+          .getOption("graft.ri.maxBroadcastSurvivors").map(_.toLong)
+          .getOrElse(1L << 22)
+        val fpLeg =
+          if (maybeRows <= maxBroadcastSurvivors) {
+            val present = parentKeys
+              .join(broadcast(maybeKeys.select(col("k"))), Seq("k"), "left_semi")
+            maybeKeys.join(broadcast(present), Seq("k"), "left_anti")
+              .agg(coalesce(sum(col("c")), lit(0L)).as("fp_rows"))
+          } else {
+            maybeKeys.join(parentKeys, Seq("k"), "left_anti")
+              .agg(coalesce(sum(col("c")), lit(0L)).as("fp_rows"))
+          }
+        fpLeg.select(lit(name).as("rel"), lit(nRows).as("n_rows"),
+          (lit(definite) + col("fp_rows")).as("n_orphans"))
+      }
+      def audit(name: String, child: org.apache.spark.sql.DataFrame, ck: String,
+          parent: org.apache.spark.sql.DataFrame, pk: String) = {
+        val parentKeys = parent.select(col(pk).as("k"))
+        val stats = parentKeys.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (stats <= bloomThreshold) plainAudit(name, child, ck, parentKeys)
+        else bloomAudit(name, child, ck, parentKeys, stats)
       }
       audit("events.user_id->customer", t.events, "user_id", t.customer, "c_custkey")
         .unionByName(audit("lineitem.l_orderkey->orders",

@@ -753,11 +753,19 @@ object TextQueries {
     // ------------------------------------------------------------------
     // q65 — BPE-style pre-tokenization count: subword units = letter
     // runs, single digits, and single punctuation marks (the shape a
-    // byte-pair tokenizer's pre-split produces). One regex pass per
-    // document; fertility = subwords per whitespace token is the
-    // standard tokenizer-cost metric for a training corpus. The
-    // pattern uses only constructs Java regex and RE2 interpret
-    // identically.
+    // byte-pair tokenizer's pre-split produces). fertility = subwords
+    // per whitespace token is the standard tokenizer-cost metric for
+    // a training corpus. The oracle's regex uses only constructs Java
+    // regex and RE2 interpret identically; the engine side runs the
+    // [[graft.functions.SubwordCount]] byte scanner instead of the
+    // regex interpreter (the q73 kernel precedent — fuzz-pinned
+    // against java.util.regex in TextKernelsSpec) and counts
+    // whitespace tokens without materializing the split array. Scale
+    // shape (r13): compute rides the SCAN partitions — the per-doc
+    // counts are map-side projections, so the only exchange in the
+    // plan is the output ORDER BY over the narrow (id, int, double)
+    // rows; text never shuffles (the previous form hash-exchanged the
+    // full text for parallelism the cheap kernel no longer needs).
     QueryDef.sql(
       "q65_subword_tokens",
       """SELECT doc_id,
@@ -765,12 +773,13 @@ object TextQueries {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS DOUBLE)
         |    / len(string_split(text, ' ')) AS fertility
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val sub = size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0)))
-      Tables(s, dir).documentsSpread
+      val sub = graft.functions.SubwordCount(col("text"))
+      Tables(s, dir).documents
         .select(
           col("doc_id"),
           sub.as("n_subwords"),
-          (sub.cast("double") / size(tokens(col("text")))).as("fertility"))
+          (sub.cast("double") /
+            graft.functions.SpaceTokenCount(col("text"))).as("fertility"))
         .orderBy(col("doc_id"))
     },
 

@@ -66,4 +66,34 @@ class CountMinTopKSpec extends AnyFunSuite {
     stream.foreach(s => h = agg.reduce(h, s))
     assert(agg.finish(h).map(_._1).toSet == Set("H1", "H2", "H3", "H4", "H5"))
   }
+
+  test("weighted partials sketch == row-by-row sketch (additive updates), top-k identical") {
+    // the q90 premise: feeding map-side-combined (value, partial count)
+    // rows produces the SAME merged counters as the raw expansion, so
+    // estimates — and the candidate top-k — agree exactly
+    val plain = new CountMinTopK(5)
+    val weighted = new CountMinTopKWeighted(5)
+    var a = plain.zero
+    data.foreach(s => a = plain.reduce(a, s))
+    // partials: split the stream in 7 chunks, pre-combine each
+    var b = weighted.zero
+    data.grouped(math.max(1, data.size / 7)).foreach { chunk =>
+      chunk.groupBy(identity).foreach { case (v, occ) =>
+        b = weighted.reduce(b, (v, occ.size.toLong))
+      }
+    }
+    assert(a.counts.toSeq == b.counts.toSeq, "merged CMS counters diverge")
+    assert(plain.finish(a) == weighted.finish(b))
+    // and through the full Spark agg path over a weighted table
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val got = exact.toDF("value", "c").repartition(5)
+      .as[(String, Long)]
+      .select(udaf(new CountMinTopKWeighted(5),
+        org.apache.spark.sql.Encoders.product[(String, Long)])
+        .apply(col("value"), col("c")).as("topk"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    val top5 = exact.sortBy { case (v, c) => (-c, v) }.take(5)
+    assert(got.map(_._1) == top5.map(_._1), s"got=$got exact=$top5")
+  }
 }

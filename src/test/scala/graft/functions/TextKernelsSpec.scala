@@ -101,6 +101,47 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("SubwordCount == size(regexp_extract_all) on the full corpus; SpaceTokenCount == size(split)") {
+    val pat = lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]")
+    val mismatches = docs.select(
+      SubwordCount(col("text")).as("k1"),
+      size(regexp_extract_all(col("text"), pat, lit(0))).as("r1"),
+      SpaceTokenCount(col("text")).as("k2"),
+      size(split(col("text"), " ")).as("r2"))
+      .filter(col("k1") =!= col("r1") || col("k2") =!= col("r2"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("SubwordCount fuzz vs java.util.regex, ASCII + multi-byte + supplementary") {
+    val rng = new scala.util.Random(46513)
+    val alphabet: Array[String] =
+      (('a' to 'e') ++ ('A' to 'C') ++ ('0' to '3')).map(_.toString).toArray ++
+        Array(" ", "  ", ".", ",", "!", "-", "é", "ß", "日", "語", "\t", "\n",
+          new String(Character.toChars(0x1F600)), // supplementary: one code point
+          new String(Character.toChars(0x10348)))
+    val pattern = java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]")
+    def model(s: String): Int = {
+      val m = pattern.matcher(s)
+      var c = 0
+      while (m.find()) c += 1
+      c
+    }
+    val cases = ("" +: "a" +: " " +: "é" +: (1 to 400).map { _ =>
+      (0 until rng.nextInt(60)).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    }).distinct
+    val got = cases.toDF("text")
+      .select(col("text"), SubwordCount(col("text")).as("k"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    cases.foreach { s =>
+      assert(got(s) == model(s), s"subwordCount mismatch on ${s.getBytes("UTF-8").mkString(",")}")
+    }
+    // null flows through
+    val nulls = Seq[Option[String]](None).toDF("text")
+      .select(SubwordCount(col("text")).as("k"), SpaceTokenCount(col("text")).as("t"))
+    assert(nulls.head().isNullAt(0) && nulls.head().isNullAt(1))
+  }
+
   test("kernels are callable from SQL after registration") {
     graft.GraftExtensions.register(spark)
     docs.limit(5).createOrReplaceTempView("tk_docs")
