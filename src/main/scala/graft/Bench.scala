@@ -19,12 +19,15 @@ private[graft] object BenchKernel {
     // help the join-heavy queries even at bench scale); env knob for
     // A/B measurement only.
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", aqe)
-      .config("spark.ui.enabled", "false")
+    // GRAFT_BUCKETED_WH points the session at a bucketed warehouse
+    // (metastore + sort-trust configs); unset = no-op, plain parquet
+    val spark = graft.sources.BucketedWarehouse.configureFromEnv(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", aqe)
+        .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
@@ -54,12 +57,23 @@ private[graft] object BenchKernel {
   private final class TaskIoListener extends org.apache.spark.scheduler.SparkListener {
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong()
     val spill = new java.util.concurrent.atomic.AtomicLong()
+    // r13 suite-tax attribution triple: source bytes read, task wall,
+    // task CPU. In-suite inflation with flat task_cpu and inflated
+    // (run − cpu) points at IO/scheduling; inflated cpu at JIT/GC/
+    // allocation state — the discriminator three rounds of "suite
+    // state tax" labels lacked.
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong()
+    val taskRunMs = new java.util.concurrent.atomic.AtomicLong()
+    val taskCpuMs = new java.util.concurrent.atomic.AtomicLong()
     override def onTaskEnd(
         t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
         shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled): Unit
+        spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+        bytesRead.addAndGet(m.inputMetrics.bytesRead)
+        taskRunMs.addAndGet(m.executorRunTime)
+        taskCpuMs.addAndGet(m.executorCpuTime / 1000000L): Unit
       }
     }
   }
@@ -178,6 +192,9 @@ private[graft] object BenchKernel {
       .asScala.map(_.getCollectionTime).sum
     val sw0 = ioListener.shuffleWrite.get()
     val sp0 = ioListener.spill.get()
+    val br0 = ioListener.bytesRead.get()
+    val tr0 = ioListener.taskRunMs.get()
+    val tc0 = ioListener.taskCpuMs.get()
     val t0 = System.nanoTime()
     val ok = try { exec(spark, sfDir, name); true } catch { case _: Throwable => false }
     val dt = (System.nanoTime() - t0) / 1e9
@@ -195,10 +212,14 @@ private[graft] object BenchKernel {
     val (dio, dtot) = (d("host_iowait_ticks"), d("host_total_ticks"))
     val sysShare = if (du + ds <= 0) -1.0 else ds.toDouble / (du + ds)
     val ioShare = if (dtot <= 0) -1.0 else dio.toDouble / dtot
+    val brMb = (ioListener.bytesRead.get() - br0) / (1 << 20)
+    val trMs = ioListener.taskRunMs.get() - tr0
+    val tcMs = ioListener.taskCpuMs.get() - tc0
     regimeLine(s"""{"q":"$name","ok":$ok,"sec":${f"$dt%.3f"},""" +
       s""""shuffle_write_mb":$swMb,"spill_mb":$spMb,""" +
       f""""sys_share":$sysShare%.3f,"host_iowait_share":$ioShare%.3f,""" +
-      s""""gc_ms":${gc1 - gc0}}""")
+      s""""gc_ms":${gc1 - gc0},""" +
+      s""""input_mb":$brMb,"task_ms":$trMs,"task_cpu_ms":$tcMs}""")
     if (totals != null && ok) {
       totals.timedRuns += 1
       totals.shuffleWriteMb += swMb

@@ -61,6 +61,11 @@ object ScanBudgets {
     "q97_neardup_triangles" -> Map("documents" -> 2),
     // blocked fuzzy match: both sides of the part self-join
     "q98_fuzzy_entity_match" -> Map("part" -> 2),
+    // per-column profiler: three pruned single-column scans read no
+    // more bytes than one 3-column scan and beat every fused form
+    // (ProbeQ81 A/B at 100×, r13 — the one-scan typed-slot explode
+    // was a measured negative result)
+    "q81_profile_columns" -> Map("lineitem" -> 3),
     // SemDeDup: cell assignment side vs in-cell comparison side
     "q102_semdedup" -> Map("embeddings" -> 2),
     // dominance self-join (skyline): candidate vs challenger sides
@@ -135,10 +140,12 @@ object ScanBudgets {
     // partial-aggregate rollup + late-arrival merge legs
     "q109_incremental_rollup" -> Map("events" -> 2),
 
-    // Multi-table audit: every FK direction checks orphans both ways,
-    // so each table appears once per direction it participates in
+    // Multi-table audit: each child scans ONCE (its keyed count table
+    // is cached and feeds both the total and the anti-join leg, r13);
+    // parents scan once per relationship they anchor (customer ×2)
+    // plus orders' own child leg
     "q108_ref_integrity" -> Map(
-      "lineitem" -> 2, "customer" -> 2, "orders" -> 3, "events" -> 2),
+      "lineitem" -> 1, "customer" -> 2, "orders" -> 2, "events" -> 1),
 
     // RETURNED-PLAN-IS-DRIVER-LOCAL class: every file scan these
     // queries run happens at BUILD time (declared below in

@@ -59,42 +59,3 @@ object BloomMightContain {
   def apply(c: Column, bloom: Broadcast[BloomFilter]): Column =
     ColumnBridge.column(BloomMightContain(ColumnBridge.expression(c), bloom))
 }
-
-/** Long-key variant of [[BloomMightContain]] — probes a filter built
-  * over a BIGINT column (`df.stat.bloomFilter` on long keys uses
-  * `putLong`, so `mightContainLong` is the matching probe). Same
-  * one-sided error contract: `false` is definitive absence — the q108
-  * referential-integrity prefilter counts those rows as orphans with
-  * NO join at all — `true` is a candidate for the exact verify.
-  */
-case class BloomMightContainLong(child: Expression, bloom: Broadcast[BloomFilter])
-    extends UnaryExpression with Predicate {
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    child.dataType match {
-      case org.apache.spark.sql.types.LongType => TypeCheckResult.TypeCheckSuccess
-      case t => TypeCheckResult.TypeCheckFailure(
-        s"BloomMightContainLong requires a bigint column, got $t")
-    }
-
-  override protected def nullSafeEval(input: Any): Any =
-    bloom.value.mightContainLong(input.asInstanceOf[Long])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bloomBc", bloom, classOf[Broadcast[_]].getName)
-    nullSafeCodeGen(ctx, ev, c => s"""
-       |${ev.value} = ((org.apache.spark.util.sketch.BloomFilter)
-       |  $ref.value()).mightContainLong($c);
-     """.stripMargin)
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =
-    copy(child = newChild)
-}
-
-object BloomMightContainLong {
-  import org.apache.spark.sql.graftbridge.ColumnBridge
-
-  def apply(c: Column, bloom: Broadcast[BloomFilter]): Column =
-    ColumnBridge.column(BloomMightContainLong(ColumnBridge.expression(c), bloom))
-}

@@ -593,14 +593,17 @@ object AnalyticsQueries {
     // second fact scan + broadcast join-back (r13, the r12 verdict's
     // named fix — the re-rank pass re-paid the whole scan for counts
     // the count table already held): ONE map-side-combined fact scan
-    // builds the table; the sketch pass re-expands it to the exact
-    // value multiset via explode(sequence) — generated from the cached
-    // ~distinct-values rows, never the parquet — and the rank
-    // intervals count(<v)/count(≤v) fold on the driver from the same
-    // collected table (replica-invariant, so the tier keeps firing at
-    // 100×). GK's bound holds for ANY insert order, so grouping equal
-    // values back-to-back cannot flip a boolean. Wider value domains
-    // (probe > 1M distinct) fall back to the two-scan join-back form.
+    // builds the table; the sketch ([[graft.functions
+    // .GkQuantileWeighted]] — the same QuantileSummaries machinery
+    // percentile_approx runs, fed (value, multiplicity) rows; an
+    // explode(sequence) re-expansion measured 4.2–9.0 s of generator
+    // and GC overhead for the identical inserts) consumes the cached
+    // table, and the rank intervals count(<v)/count(≤v) fold on the
+    // driver from the same collected table (replica-invariant, so the
+    // tier keeps firing at 100×). GK's bound holds for ANY insert
+    // order, so grouping equal values back-to-back cannot flip a
+    // boolean. Wider value domains (probe > 1M distinct) fall back to
+    // the two-scan join-back form.
     // A sketch regression (wrong merge, bad accuracy plumbing) flips
     // a boolean and breaks the hash. Exact companion: q84.
     QueryDef.sql(
@@ -634,15 +637,18 @@ object AnalyticsQueries {
           .agg(count(lit(1)).as("__cnt")))
       val probe = vc.limit(maxDriverRows + 1).collect()
       if (probe.length <= maxDriverRows) {
-        // sketch over the exact value multiset, regenerated from the
-        // cached count table (no second parquet scan); nulls (absent
+        // weighted sketch over the cached count table (no second
+        // parquet scan, no multiset re-expansion); nulls (absent
         // here, but defensively) contribute to n and never to the
         // sketch or the comparisons — matching the join-back form
-        val skRows = sketch(vc.filter(col("l_extendedprice").isNotNull)
-          .select(col("l_returnflag"), col("l_extendedprice"),
-            explode(sequence(lit(1L), col("__cnt"))).as("__i")))
+        import s.implicits._
+        val skRows = vc.filter(col("l_extendedprice").isNotNull)
+          .as[(String, Double, Long)]
+          .groupByKey(_._1).mapValues(r => (r._2, r._3))
+          .agg(new graft.functions.GkQuantileWeighted(ps.map(_._1), acc)
+            .toColumn.name("ap"))
           .collect()
-          .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+          .map { case (rf, ap) => rf -> ap }.toMap
         val out = probe.groupBy(_.getString(0)).toSeq.map { case (rf, rows) =>
           val n = rows.iterator.map(_.getLong(2)).sum
           // a group whose prices are all NULL never reaches the sketch:

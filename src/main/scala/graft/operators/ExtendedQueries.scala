@@ -257,18 +257,19 @@ object ExtendedQueries {
 
     // ------------------------------------------------------------------
     // q81 — column profiler: the data-quality primitive a pipeline
-    // runs before training (null counts, cardinality, min/max). ONE
-    // scan, expand-free (r13): each row explodes map-side into three
-    // (column_name, typed value slot) rows — a TYPED slot per source
-    // type, so min/max keep native ordering (no stringly compares) —
-    // then a partial-combined groupBy on (name, slots) ships only
-    // DISTINCT values through the shuffle, and a second tiny
-    // aggregate folds each column's distinct-value table into the
-    // profile row (nulls ride along as the all-slots-null value).
-    // This replaces both earlier forms: the stack()+3-distinct-aggs
-    // single aggregate (whose planner Expand multiplied every row 4×
-    // AND fell out of codegen) and the r8 three-scan union (3 jobs,
-    // lineitem×3 — 5.4 s isolated at 100× vs DuckDB's fused 0.8).
+    // runs before training (null counts, cardinality, min/max).
+    // Per-column pruned scan + COUNT-TABLE two-level aggregate — the
+    // form the r13 A/B at 100× picked (tools/ProbeQ81: count-table
+    // 3.18 s vs 9.61 for the r8 mixed-distinct aggs, whose single
+    // countDistinct alongside plain aggs still makes the planner
+    // Expand ×2, and 3.63 for the one-scan typed-slot explode that
+    // briefly replaced it — a NEGATIVE result: fusing the three scans
+    // shuffles the union of distinct values as wide variant rows and
+    // loses to three pruned columnar scans that read no more bytes
+    // than one 3-column scan). groupBy(col).count keeps the whole
+    // pass in whole-stage codegen and ships only per-partition
+    // distinct values; the profile row folds from the count table
+    // (nulls ride along as the null-key group).
     // Stringly min/max only for types whose string form is
     // engine-identical (ints, dates, strings — no doubles).
     // Contract note: on an EMPTY fact this emits zero rows where the
@@ -298,36 +299,18 @@ object ExtendedQueries {
         |  FROM lineitem)
         |ORDER BY column_name""".stripMargin) { (s, dir) =>
       val li = Tables(s, dir).lineitem
-      val nullL = lit(null).cast(LongType)
-      val nullS = lit(null).cast(StringType)
-      val nullT = lit(null).cast(TimestampType)
-      val slots = explode(array(
-        struct(lit("l_orderkey").as("cn"),
-          col("l_orderkey").as("vl"), nullS.as("vs"), nullT.as("vt")),
-        struct(lit("l_returnflag").as("cn"),
-          nullL.as("vl"), col("l_returnflag").as("vs"), nullT.as("vt")),
-        struct(lit("l_shipdate").as("cn"),
-          nullL.as("vl"), nullS.as("vs"), col("l_shipdate").as("vt"))))
-      val perValue = li
-        .select(slots.as("s"))
-        .select(col("s.cn").as("cn"), col("s.vl").as("vl"),
-          col("s.vs").as("vs"), col("s.vt").as("vt"))
-        .groupBy(col("cn"), col("vl"), col("vs"), col("vt"))
-        .agg(count(lit(1)).as("cnt"))
-      val isNullVal = col("vl").isNull && col("vs").isNull && col("vt").isNull
-      perValue
-        .groupBy(col("cn").as("column_name"))
-        .agg(
-          sum(when(isNullVal, col("cnt")).otherwise(0L)).as("n_nulls"),
-          count(when(!isNullVal, 1)).as("n_distinct"),
-          min(col("vl")).as("min_l"), max(col("vl")).as("max_l"),
-          min(col("vs")).as("min_v"), max(col("vs")).as("max_v"),
-          min(col("vt")).as("min_t"), max(col("vt")).as("max_t"))
-        .select(col("column_name"), col("n_nulls"), col("n_distinct"),
-          coalesce(col("min_l").cast(StringType), col("min_v"),
-            col("min_t").cast(StringType)).as("min_s"),
-          coalesce(col("max_l").cast(StringType), col("max_v"),
-            col("max_t").cast(StringType)).as("max_s"))
+      def profile(c: String) =
+        li.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+          .agg(
+            coalesce(sum(when(col(c).isNull, col("cnt"))), lit(0L)).as("n_nulls"),
+            count(when(col(c).isNotNull, 1)).as("n_distinct"),
+            min(col(c)).cast(StringType).as("min_s"),
+            max(col(c)).cast(StringType).as("max_s"))
+          .select(lit(c).as("column_name"), col("n_nulls"), col("n_distinct"),
+            col("min_s"), col("max_s"))
+      profile("l_orderkey")
+        .unionByName(profile("l_returnflag"))
+        .unionByName(profile("l_shipdate"))
         .orderBy(col("column_name"))
     },
 
@@ -370,25 +353,29 @@ object ExtendedQueries {
     // q108 — referential-integrity audit: orphan counts for the three
     // core fact→dim relationships, the constraint check a warehouse
     // runs after every load (lakes don't enforce foreign keys — you
-    // audit them). Dim-sized parents (customer) go through a plain
-    // LEFT ANTI against the distinct parent key set — already a
-    // broadcast hash anti, no shuffle. Fact-sized parents
-    // (lineitem→orders at 100×: 60M child keys anti 15M parent keys
-    // was a two-sided SMJ shuffle) take the q99 bloom-semi-join shape
-    // instead (r13): build a bloom over the parent keys (one driver
-    // aggregate action), then ONE child pass counts rows + DEFINITE
-    // orphans (bloom `false` is one-sided-exact absence — no join at
-    // all) + surviving candidate rows; the survivors (false positives
-    // + true orphans, fpp-bounded) collapse to a keyed count table and
-    // verify EXACTLY — when they fit a broadcast, by probing the
-    // parent scan map-side (the parent never shuffles); an
-    // orphan-heavy child overflowing that gate falls back to a
-    // shuffled anti of the (already collapsed) survivor keys. The
-    // composed operator stays exact at any fpp; a NULL child key
-    // counts as an orphan on both engines (anti join and NOT EXISTS
-    // agree: null matches nothing). `graft.ri.bloomThresholdBytes`
-    // overrides the stats dispatch so the spec can force the bloom
-    // path at fixture scale (RefIntegritySpec pins path equality).
+    // audit them). The child PRE-AGGREGATES to (key, multiplicity)
+    // before the anti join (r13): the orphan count needs only per-key
+    // row counts, so the map-side combine collapses the fact stream
+    // (60M lineitem rows → 15M orderkeys at 100×) and the agg's hash
+    // exchange already satisfies the join's required distribution —
+    // the child shuffles ONCE, collapsed. The parent side ships its
+    // RAW key column: an anti join keeps a left row iff NO match
+    // exists, so right-side duplicates are irrelevant and the old
+    // distinct() was a wasted exchange+dedup. Dim-sized parents
+    // broadcast into a map-side anti; the fact-sized parent (orders)
+    // shuffles unique keys once — and over the bucketed warehouse
+    // (GRAFT_BUCKETED_WH) lineitem⋈orders is co-bucketed on the
+    // orderkey, so BOTH exchanges vanish. NULL child keys form the
+    // null-key group, which an anti join always keeps (null matches
+    // nothing) — the same NOT EXISTS semantics on both engines.
+    // NEGATIVE RESULT (r13, kept for the record): the q99-style bloom
+    // prefilter prescribed for this query measured 4.9 → 7.6-10.2 s
+    // at 100× — the filter's one-sided error only saves keys ABSENT
+    // from the parent, and an RI-clean corpus passes it everywhere,
+    // so the "survivor verify" was the whole fact plus the bloom
+    // build; a prefilter pays only on orphan-heavy data, the case an
+    // integrity audit cannot assume. RefIntegritySpec pins the
+    // collapsed form against orphans + NULLs on both legs.
     QueryDef.sql(
       "q108_ref_integrity",
       """SELECT * FROM (
@@ -408,68 +395,16 @@ object ExtendedQueries {
         |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)))
         |ORDER BY rel""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
-      // a parent whose projected key column outgrows this is "fact
-      // sized": its anti-join side would shuffle instead of broadcast,
-      // so the bloom prefilter pays. Default = the session's own
-      // broadcast ceiling; the spec overrides to 0 to force the path.
-      val bloomThreshold = s.conf.getOption("graft.ri.bloomThresholdBytes")
-        .map(_.toLong)
-        .getOrElse(math.max(s.sessionState.conf.autoBroadcastJoinThreshold, 0L))
-      def plainAudit(name: String, child: org.apache.spark.sql.DataFrame, ck: String,
-          parentKeys: org.apache.spark.sql.DataFrame) = {
-        val total = child.agg(count(lit(1)).as("n_rows"))
-        val orphans = child.select(col(ck).as("k"))
-          .join(parentKeys.distinct(), Seq("k"), "left_anti")
-          .agg(count(lit(1)).as("n_orphans"))
-        total.crossJoin(orphans)
-          .select(lit(name).as("rel"), col("n_rows"), col("n_orphans"))
-      }
-      def bloomAudit(name: String, child: org.apache.spark.sql.DataFrame, ck: String,
-          parentKeys: org.apache.spark.sql.DataFrame, parentStats: BigInt) = {
-        // sized from plan stats (a count job would re-pay the parent
-        // scan); an undercount only raises fpp — more survivors to
-        // verify, never a wrong answer
-        val expected = (parentStats.toLong / 8L)
-          .max(1L << 20).min(1L << 27)
-        val bloom = parentKeys.stat.bloomFilter("k", expected, 0.01)
-        val bc = s.sparkContext.broadcast(bloom)
-        val might = graft.functions.BloomMightContainLong(col("k"), bc)
-        val base = child.select(col(ck).as("k"))
-        val head = base.agg(
-          count(lit(1)).as("n_rows"),
-          sum(when(col("k").isNull || !might, 1L).otherwise(0L)).as("definite"),
-          sum(when(col("k").isNotNull && might, 1L).otherwise(0L)).as("maybe_rows"))
-          .head()
-        val nRows = head.getLong(0)
-        val definite = if (head.isNullAt(1)) 0L else head.getLong(1)
-        val maybeRows = if (head.isNullAt(2)) 0L else head.getLong(2)
-        val maybeKeys = graft.CacheScope.scoped(
-          base.filter(col("k").isNotNull && might)
-            .groupBy(col("k")).agg(count(lit(1)).as("c")))
-        // ≤4M survivor keys broadcast (~tens of MB hashed); the parent
-        // scan probes them map-side and never shuffles
-        val maxBroadcastSurvivors = s.conf
-          .getOption("graft.ri.maxBroadcastSurvivors").map(_.toLong)
-          .getOrElse(1L << 22)
-        val fpLeg =
-          if (maybeRows <= maxBroadcastSurvivors) {
-            val present = parentKeys
-              .join(broadcast(maybeKeys.select(col("k"))), Seq("k"), "left_semi")
-            maybeKeys.join(broadcast(present), Seq("k"), "left_anti")
-              .agg(coalesce(sum(col("c")), lit(0L)).as("fp_rows"))
-          } else {
-            maybeKeys.join(parentKeys, Seq("k"), "left_anti")
-              .agg(coalesce(sum(col("c")), lit(0L)).as("fp_rows"))
-          }
-        fpLeg.select(lit(name).as("rel"), lit(nRows).as("n_rows"),
-          (lit(definite) + col("fp_rows")).as("n_orphans"))
-      }
       def audit(name: String, child: org.apache.spark.sql.DataFrame, ck: String,
           parent: org.apache.spark.sql.DataFrame, pk: String) = {
-        val parentKeys = parent.select(col(pk).as("k"))
-        val stats = parentKeys.queryExecution.optimizedPlan.stats.sizeInBytes
-        if (stats <= bloomThreshold) plainAudit(name, child, ck, parentKeys)
-        else bloomAudit(name, child, ck, parentKeys, stats)
+        val childKeys = graft.CacheScope.scoped(
+          child.groupBy(col(ck).as("k")).agg(count(lit(1)).as("c")))
+        val total = childKeys.agg(coalesce(sum(col("c")), lit(0L)).as("n_rows"))
+        val orphans = childKeys
+          .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+          .agg(coalesce(sum(col("c")), lit(0L)).as("n_orphans"))
+        total.crossJoin(orphans)
+          .select(lit(name).as("rel"), col("n_rows"), col("n_orphans"))
       }
       audit("events.user_id->customer", t.events, "user_id", t.customer, "c_custkey")
         .unionByName(audit("lineitem.l_orderkey->orders",

@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Production resolution of the bucketed join-table layout
+  * (r13, promoting the `tools/BucketedScale` probe that measured q05
+  * 18.8→2.8 s at 100× into a path the whole suite can run over).
+  *
+  * Layout: ONE bucket key per table — `lineitem`/`orders` co-bucketed
+  * on the orderkey (the only fact⋈fact equi-join in the relational
+  * heads, and the dominant exchange pair), `customer` on `c_custkey`,
+  * `part` on `p_partkey` (each joined against a fact side that
+  * re-shuffles or broadcasts as its size dictates; a deployment
+  * wanting the custkey join co-located too materializes a second
+  * orders projection, as [[graft.tools.BucketedScale]] models).
+  * Dims (`region`/`nation`) and the non-join tables stay plain
+  * parquet.
+  *
+  * Catalog persistence: bucketed tables are readable only through a
+  * catalog (bucket spec lives in table metadata, not the files), and
+  * Spark's default in-memory catalog dies with the session — so the
+  * warehouse keeps a Derby-backed Hive metastore inside its own
+  * directory. [[configure]] points any session at it; a session built
+  * WITHOUT it silently resolves nothing and every reader falls back
+  * to plain parquet (the driver's own runs never set the env, so the
+  * blessed correctness path is untouched).
+  *
+  * Safety: the warehouse records the canonical source SF directory it
+  * was built from in a `SOURCE_SF_DIR` marker; [[resolve]] returns
+  * None for any other requested dir — a stale warehouse can never
+  * substitute wrong-scale data for a parquet read. Byte-identity of
+  * results over the two layouts is asserted by BucketedWarehouseSpec
+  * and measured at 100× by BucketedScale.
+  */
+object BucketedWarehouse {
+
+  /** Env toggle: path of a warehouse built by
+    * [[graft.tools.BuildWarehouse]].
+    */
+  val EnvKey = "GRAFT_BUCKETED_WH"
+
+  /** The bucketed join tables: logical name → (bucket key, buckets).
+    * 64 buckets ≈ one task's worth per bucket on the 100× lineitem;
+    * co-bucketed pairs must share the count.
+    */
+  val tables: Map[String, (String, Int)] = Map(
+    "lineitem" -> ("l_orderkey", 64),
+    "orders" -> ("o_orderkey", 64),
+    "customer" -> ("c_custkey", 64),
+    "part" -> ("p_partkey", 64))
+
+  /** System-property twin of the env toggle so an in-process spec can
+    * flip resolution on (the JVM cannot set its own environment); the
+    * env wins when both are set.
+    */
+  val PropKey = "graft.bucketed.wh"
+
+  def whDir: Option[String] =
+    sys.env.get(EnvKey).orElse(sys.props.get(PropKey)).filter(_.nonEmpty)
+
+  /** Hive-metastore session configs for a warehouse at `wh`. Also
+    * enables the per-bucket sort trust (safe: the writer guarantees
+    * one file per bucket — SPARK-28632's multi-file caveat cannot
+    * arise).
+    */
+  def configure(
+      builder: SparkSession.Builder, wh: String): SparkSession.Builder =
+    builder
+      .config("spark.sql.warehouse.dir", s"$wh/tables")
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$wh/metastore_db;create=true")
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      .enableHiveSupport()
+
+  /** Apply [[configure]] iff the env toggle is set — the one-line hook
+    * for Bench/Verify session builders.
+    */
+  def configureFromEnv(builder: SparkSession.Builder): SparkSession.Builder =
+    whDir.fold(builder)(wh => configure(builder, wh))
+
+  def markerPath(wh: String): java.nio.file.Path =
+    java.nio.file.Paths.get(wh, "SOURCE_SF_DIR")
+
+  def writeMarker(wh: String, sfDir: String): Unit =
+    java.nio.file.Files.write(markerPath(wh),
+      java.nio.file.Paths.get(sfDir).toRealPath().toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+
+  // memoized per (warehouse, sfDir): resolve runs on every table
+  // access of every query build; the marker is immutable post-build
+  private val markerCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Boolean]()
+
+  private def markerMatches(wh: String, sfDir: String): Boolean =
+    markerCache.computeIfAbsent((wh, sfDir), { _ =>
+      try {
+        val want = java.nio.file.Paths.get(sfDir).toRealPath().toString
+        new String(java.nio.file.Files.readAllBytes(markerPath(wh)),
+          java.nio.charset.StandardCharsets.UTF_8).trim == want
+      } catch { case _: java.io.IOException => false }
+    })
+
+  /** The bucketed table for `name`, iff the env names a warehouse
+    * built from exactly `sfDir`, the session can see its catalog, and
+    * the table is one of the bucketed set. None → caller reads plain
+    * parquet.
+    */
+  def resolve(
+      spark: SparkSession, sfDir: String, name: String): Option[DataFrame] =
+    whDir.filter(_ => tables.contains(name)).flatMap { wh =>
+      if (markerMatches(wh, sfDir) && spark.catalog.tableExists(s"bk_$name"))
+        Some(spark.table(s"bk_$name"))
+      else None
+    }
+}

@@ -7,14 +7,11 @@ import graft.{SparkEntry, TestSpark}
 
 import java.nio.file.Files
 
-/** q108's tiered dispatch (plain anti-join vs bloom-prefiltered
-  * verify) must be INVISIBLE in the result: all tiers, forced in turn
-  * over the same corpus — including NULL child keys (orphans by
-  * NOT-EXISTS semantics) and genuine orphans on both the definite
-  * (bloom-false) and false-positive-verify sides — return identical
-  * rows. Fixture-scale stats always pick the plain tier on the blessed
-  * corpus, so without forcing, the bloom path would ship untested (the
-  * r12 q46 ADVICE class).
+/** q108's collapsed-child anti-join audited against independently
+  * derived orphan counts on a corpus with NULL child keys (orphans by
+  * NOT-EXISTS semantics) and genuine orphans on every relationship —
+  * the pre-aggregation and the raw (non-distinct) parent side must
+  * not change a single count.
   */
 class RefIntegritySpec extends AnyFunSuite {
 
@@ -70,25 +67,13 @@ class RefIntegritySpec extends AnyFunSuite {
     rows.map(_.toString).toSeq
   }
 
-  private def withConf(pairs: (String, String)*)(body: => Seq[String]): Seq[String] = {
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
-  }
-
-  test("plain, bloom-broadcast-verify, and bloom-shuffled-verify tiers agree exactly") {
-    val plain = runQ108() // fixture stats: every parent under the broadcast ceiling
+  test("orphan counts exact under NULL keys, orphan keys, and duplicated child keys") {
+    val got = runQ108()
     // expected orphan counts, derived independently of the engine
     val expected = Seq(
       s"[events.user_id->customer,300,${300 / 37 + 1}]",
       s"[lineitem.l_orderkey->orders,1200,${1200 / 101 + 1200 / 211}]",
       s"[orders.o_custkey->customer,400,${400 / 97 + 1}]")
-    assert(plain.sorted == expected.sorted)
-    val bloomBroadcast = withConf("graft.ri.bloomThresholdBytes" -> "0")(runQ108())
-    val bloomShuffled = withConf(
-      "graft.ri.bloomThresholdBytes" -> "0",
-      "graft.ri.maxBroadcastSurvivors" -> "0")(runQ108())
-    assert(bloomBroadcast == plain, "bloom broadcast-verify tier diverges from plain")
-    assert(bloomShuffled == plain, "bloom shuffled-verify tier diverges from plain")
+    assert(got.sorted == expected.sorted)
   }
 }

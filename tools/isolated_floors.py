@@ -33,6 +33,14 @@ def main() -> None:
             sec = line["queries"][shorten(q)]
             regime = line.get("regime_all_runs", line.get("regime", {}))
             results[q] = {"sec": sec, "regime": regime}
+            # per-timing detail rows (input_mb / task_ms / task_cpu_ms,
+            # r13) for suite-vs-floor attribution
+            try:
+                with open(os.path.join(repo, "bench_regime.jsonl")) as f:
+                    results[q]["runs"] = [
+                        json.loads(l) for l in f if f'"q":"{q}"' in l]
+            except OSError:
+                pass
             print(f"[{i+1}/{len(queries)}] {q:35s} {sec:8.3f}s "
                   f"sys={regime.get('sys_share', -1)}", flush=True)
         except Exception as e:  # noqa: BLE001 - record and continue
