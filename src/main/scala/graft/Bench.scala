@@ -210,8 +210,10 @@ private[graft] object BenchKernel {
       if (cpu0(k) < 0 || cpu1(k) < 0) -1 else cpu1(k) - cpu0(k)
     val (du, ds) = (d("proc_utime_ms"), d("proc_stime_ms"))
     val (dio, dtot) = (d("host_iowait_ticks"), d("host_total_ticks"))
+    val dsteal = d("host_steal_ticks")
     val sysShare = if (du + ds <= 0) -1.0 else ds.toDouble / (du + ds)
     val ioShare = if (dtot <= 0) -1.0 else dio.toDouble / dtot
+    val stealShare = if (dtot <= 0 || dsteal < 0) -1.0 else dsteal.toDouble / dtot
     val brMb = (ioListener.bytesRead.get() - br0) / (1 << 20)
     val trMs = ioListener.taskRunMs.get() - tr0
     val tcMs = ioListener.taskCpuMs.get() - tc0
@@ -219,6 +221,7 @@ private[graft] object BenchKernel {
       s""""shuffle_write_mb":$swMb,"spill_mb":$spMb,""" +
       f""""sys_share":$sysShare%.3f,"host_iowait_share":$ioShare%.3f,""" +
       s""""gc_ms":${gc1 - gc0},""" +
+      f""""host_steal_share":$stealShare%.3f,""" +
       s""""input_mb":$brMb,"task_ms":$trMs,"task_cpu_ms":$tcMs}""")
     if (totals != null && ok) {
       totals.timedRuns += 1

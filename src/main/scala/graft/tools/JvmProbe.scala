@@ -71,9 +71,17 @@ object JvmProbe {
       // double-count VM time and bias the iowait share low
       val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
         .next().trim.split("\\s+").drop(1).take(8).map(_.toLong)
-      Seq("host_iowait_ticks" -> cpu(4), "host_total_ticks" -> cpu.sum)
+      // steal (field 8) = cycles the HYPERVISOR ran someone else while
+      // this guest's vCPU was runnable. Invisible to thread-CPU
+      // accounting (the guest books stolen time as if the thread ran),
+      // so it is the only direct witness for the 3-30× single-slot
+      // storms measured r13: wall and "CPU" inflate together, iowait
+      // stays 0, and no in-process counter moves.
+      Seq("host_iowait_ticks" -> cpu(4), "host_total_ticks" -> cpu.sum,
+        "host_steal_ticks" -> cpu(7))
     } catch { case _: Throwable =>
-      Seq("host_iowait_ticks" -> -1L, "host_total_ticks" -> -1L) }
+      Seq("host_iowait_ticks" -> -1L, "host_total_ticks" -> -1L,
+        "host_steal_ticks" -> -1L) }
     self ++ host
   }
 

@@ -17,8 +17,15 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# -Xms=-Xmx + AlwaysPreTouch: commit and fault the whole heap at JVM
+# start, OUTSIDE any timed window. Without it the first heavy query in
+# a fresh JVM grows the heap live and pays the kernel's page-fault /
+# THP path inside its timing (r13 measured: q48 first-run 99 s at
+# sys 0.75 and 6x thread-CPU, settling to 12 s once the heap was
+# grown; same signature as the in-suite single-slot storms).
 exec java $ADD_OPENS \
-  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -Xms"${SPARK_DRIVER_MEM:-8g}" -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -XX:+AlwaysPreTouch \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   "${GRAFT_MAIN:-graft.Bench}" "$@" 2>/tmp/bench_stderr.log <<<""
