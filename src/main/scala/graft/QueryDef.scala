@@ -19,7 +19,27 @@ final case class QueryDef(
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     scanBudgets: Map[String, Int] = Map.empty,
-    buildActionScans: Map[String, Int] = Map.empty) {
+    buildActionScans: Map[String, Int] = Map.empty,
+    plainLayout: Boolean = false) {
+
+  /** Build this query with its layout preference applied: a
+    * `plainLayout` query skips bucketed-warehouse resolution for the
+    * duration of the build (per-workload layout dispatch, r14 — the
+    * env-global toggle forced one layout on a suite that wants both).
+    * All entry points (Bench, Verify, SparkEntry.queries) go through
+    * here; `run` stays the raw implementation.
+    */
+  def build(spark: SparkSession, dir: String): DataFrame =
+    if (plainLayout) graft.sources.LayoutPreference.withPlain(run(spark, dir))
+    else run(spark, dir)
+
+  /** Pin this query to the plain parquet layout even when a bucketed
+    * warehouse is toggled on. For queries whose plans want the
+    * SPLITTABLE scan — iterative loops sized off the source shape, or
+    * heads where the 64-file bucketed scan caps parallelism below the
+    * machine. Each call site carries the measured justification.
+    */
+  def withPlainLayout: QueryDef = copy(plainLayout = true)
 
   /** Declare this query's per-table file-scan budget where it
     * legitimately exceeds the suite default of 1 (PlanQualitySpec's

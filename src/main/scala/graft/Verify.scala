@@ -44,7 +44,7 @@ object Verify {
       spark.catalog.clearCache()
       try {
         val (_, counts) = plans.ScanLedger.measure(spark) {
-          d.run(spark, sfDir).coalesce(1).write.mode("overwrite")
+          d.build(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
         }
         val over = counts.filter { case (t, c) => c > d.ledgerBudget(t) }

@@ -272,10 +272,11 @@ object ExtendedQueries {
     // (nulls ride along as the null-key group).
     // Stringly min/max only for types whose string form is
     // engine-identical (ints, dates, strings — no doubles).
-    // Contract note: on an EMPTY fact this emits zero rows where the
-    // oracle's scalar-agg legs emit one all-zero row per column —
-    // profiling an empty table is out of contract (the pipeline gates
-    // on _SUCCESS + rows>0 long before profiling).
+    // Empty-fact behavior matches the oracle since the r13 per-column
+    // rewrite: each column's profile folds through a GLOBAL (no
+    // groupBy) aggregate over its count table, which emits one row
+    // per column even over zero input — same as the oracle's
+    // scalar-agg legs.
     QueryDef.sql(
       "q81_profile_columns",
       """SELECT * FROM (

@@ -87,29 +87,70 @@ object BucketedWarehouse {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
 
   // memoized per (warehouse, sfDir): resolve runs on every table
-  // access of every query build; the marker is immutable post-build
+  // access of every query build; the marker is immutable post-build.
+  // POSITIVE results only (r13 ADVICE): a transient read failure — or
+  // a marker that appears after the first resolve attempt — must not
+  // disable bucketed resolution for the JVM's lifetime; the re-read on
+  // a miss is one tiny file, trivial next to a query build.
   private val markerCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Boolean]()
 
   private def markerMatches(wh: String, sfDir: String): Boolean =
-    markerCache.computeIfAbsent((wh, sfDir), { _ =>
-      try {
-        val want = java.nio.file.Paths.get(sfDir).toRealPath().toString
-        new String(java.nio.file.Files.readAllBytes(markerPath(wh)),
-          java.nio.charset.StandardCharsets.UTF_8).trim == want
-      } catch { case _: java.io.IOException => false }
-    })
+    markerCache.containsKey((wh, sfDir)) || {
+      val ok =
+        try {
+          val want = java.nio.file.Paths.get(sfDir).toRealPath().toString
+          new String(java.nio.file.Files.readAllBytes(markerPath(wh)),
+            java.nio.charset.StandardCharsets.UTF_8).trim == want
+        } catch { case _: java.io.IOException => false }
+      if (ok) markerCache.put((wh, sfDir), java.lang.Boolean.TRUE)
+      ok
+    }
+
+  // one-file-per-bucket guard, memoized positively per (wh, table):
+  // the session-wide sort-trust config (`bucketedTableScan
+  // .outputOrdering`, set in [[configure]]) is only safe over
+  // single-file buckets, and the writer's guarantee is re-VERIFIED
+  // here before any query consumes the table — a hand-edited or
+  // torn warehouse falls back to plain parquet (correct, just
+  // slower) instead of silently skipping a required Sort.
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Boolean]()
+
+  private def layoutOk(spark: SparkSession, wh: String, name: String): Boolean =
+    layoutCache.containsKey((wh, name)) || {
+      val buckets = tables(name)._2
+      val ok =
+        try {
+          val (files, ids) = BucketedTables.bucketFileCensus(spark, s"bk_$name")
+          // empty buckets write no file (sort-safe); a bucket id with
+          // MORE than one file is the unsafe layout
+          val good = files == ids && ids <= buckets
+          if (!good) System.err.println(
+            s"[BucketedWarehouse] bk_$name: $files files / $ids bucket ids " +
+              s"(numBuckets=$buckets) — some bucket holds multiple files; " +
+              "falling back to plain parquet for this table")
+          good
+        } catch { case _: Exception => false }
+      if (ok) layoutCache.put((wh, name), java.lang.Boolean.TRUE)
+      ok
+    }
 
   /** The bucketed table for `name`, iff the env names a warehouse
-    * built from exactly `sfDir`, the session can see its catalog, and
-    * the table is one of the bucketed set. None → caller reads plain
-    * parquet.
+    * built from exactly `sfDir`, the session can see its catalog, the
+    * table is one of the bucketed set, and its layout still honors
+    * one-file-per-bucket. None → caller reads plain parquet. A query
+    * under [[LayoutPreference.withPlain]] skips resolution entirely
+    * (per-workload layout dispatch, r14 — iterative rescanners want
+    * the splittable plain scan).
     */
   def resolve(
       spark: SparkSession, sfDir: String, name: String): Option[DataFrame] =
-    whDir.filter(_ => tables.contains(name)).flatMap { wh =>
-      if (markerMatches(wh, sfDir) && spark.catalog.tableExists(s"bk_$name"))
-        Some(spark.table(s"bk_$name"))
-      else None
-    }
+    whDir.filter(_ => tables.contains(name) && !LayoutPreference.plainPinned)
+      .flatMap { wh =>
+        if (markerMatches(wh, sfDir) && spark.catalog.tableExists(s"bk_$name") &&
+            layoutOk(spark, wh, name))
+          Some(spark.table(s"bk_$name"))
+        else None
+      }
 }

@@ -19,9 +19,13 @@ object BuildWarehouse {
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: BuildWarehouse <sfDir> <whDir>")
     val Array(sfDir, whDir) = args
-    require(sys.env.get(BucketedWarehouse.EnvKey).isEmpty,
-      s"unset ${BucketedWarehouse.EnvKey} while building: the source reads " +
-        "must come from the plain parquet, not a previous warehouse")
+    // whDir covers BOTH the env var and its graft.bucketed.wh sysprop
+    // twin (r13 ADVICE): either one set would make Tables resolve the
+    // source reads from a PREVIOUS warehouse instead of plain parquet
+    require(BucketedWarehouse.whDir.isEmpty,
+      s"unset ${BucketedWarehouse.EnvKey} (and the ${BucketedWarehouse.PropKey} " +
+        "system property) while building: the source reads must come from " +
+        "the plain parquet, not a previous warehouse")
     new java.io.File(whDir).mkdirs()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = BucketedWarehouse.configure(

@@ -77,6 +77,65 @@ class BucketedWarehouseSpec extends AnyFunSuite {
     assert(BucketedWarehouse.resolve(spark, sfDir, "lineitem").isEmpty)
   }
 
+  test("marker cache is positive-only: a marker appearing after a failed probe enables resolution") {
+    val wh = Files.createTempDirectory("bk-wh").toString
+    val t = Tables(spark, sfDir)
+    BucketedTables.writeBucketed(t.lineitem, "bk_lineitem", "l_orderkey", 64)
+    sys.props(BucketedWarehouse.PropKey) = wh
+    try {
+      // no marker yet: resolution declines (and the old permanent
+      // negative memo would have pinned this outcome forever)
+      assert(BucketedWarehouse.resolve(spark, sfDir, "lineitem").isEmpty)
+      BucketedWarehouse.writeMarker(wh, sfDir)
+      assert(BucketedWarehouse.resolve(spark, sfDir, "lineitem").isDefined,
+        "marker written after the first probe must enable resolution (r13 ADVICE)")
+    } finally {
+      sys.props.remove(BucketedWarehouse.PropKey)
+      spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+    }
+  }
+
+  test("a multi-file bucket is rejected at resolve time (sort-trust guard)") {
+    val wh = Files.createTempDirectory("bk-wh").toString
+    val t = Tables(spark, sfDir)
+    BucketedTables.writeBucketed(t.lineitem, "bk_lineitem", "l_orderkey", 64)
+    BucketedWarehouse.writeMarker(wh, sfDir)
+    sys.props(BucketedWarehouse.PropKey) = wh
+    try {
+      // split one bucket into two files by copying a data file under a
+      // fresh task id but the SAME bucket-id component — exactly what
+      // an inherited maxRecordsPerFile would have produced at build
+      val loc = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("bk_lineitem")).location.toString))
+      val data = loc.listFiles().filter(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      val victim = data.head
+      val twin = new java.io.File(loc, "part-99999-" + victim.getName.dropWhile(_ != '-').drop(1))
+      Files.copy(victim.toPath, twin.toPath)
+      assert(BucketedWarehouse.resolve(spark, sfDir, "lineitem").isEmpty,
+        "resolution must decline when a bucket holds more than one file")
+      // repair: remove the twin; the guard re-probes (no negative memo)
+      assert(twin.delete())
+      assert(BucketedWarehouse.resolve(spark, sfDir, "lineitem").isDefined)
+    } finally {
+      sys.props.remove(BucketedWarehouse.PropKey)
+      spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+    }
+  }
+
+  test("a plainLayout-pinned build never resolves bucketed tables") {
+    withWarehouse {
+      assert(BucketedWarehouse.resolve(spark, sfDir, "lineitem").isDefined)
+      LayoutPreference.withPlain {
+        assert(BucketedWarehouse.resolve(spark, sfDir, "lineitem").isEmpty,
+          "LayoutPreference.withPlain must pin the plain parquet scan")
+      }
+      assert(BucketedWarehouse.resolve(spark, sfDir, "lineitem").isDefined,
+        "the pin must not outlive its scope")
+    }
+  }
+
   test("co-bucketed lineitem⋈orders joins without an exchange on either side") {
     withWarehouse {
       val t = Tables(spark, sfDir)

@@ -1,12 +1,33 @@
 #!/usr/bin/env python3
-"""Fresh-JVM isolated floors at a given SF dir.
+"""Fresh-JVM isolated floors at a given SF dir, storm-rejecting.
 
-One graft.Bench JVM per query (the bench itself times 2-3 runs
-in-JVM and reports the min); the per-query regime row is read back
-from bench_last.json. Emits ISOLATED-style JSON:
-  {"sf": ..., "method": ..., "queries": {name: {sec, regime}}}
+One graft.Bench JVM per ATTEMPT (the bench itself times 2-3 runs
+in-JVM and reports the min); attempts repeat until the two best agree
+within the calm tolerance (default 10%) or the attempt budget runs
+out. Rationale (r13 verdict item 3): this host has a storm class
+where 1-4 consecutive slots run 2-4x slow with inflated user
+thread-CPU while sys/iowait/steal stay quiet - a single attempt, or
+even min-of-3 inside one JVM window, can land entirely inside a storm
+(q128's r13 floor samples read 55.9 -> 29.4 -> 17.1 s, still
+decaying). Two INDEPENDENT fresh-JVM attempts agreeing within ~10%
+is evidence the min is the plan's cost, not the machine's mood; the
+artifact records every attempt plus the calm_pair verdict so a
+no-agreement floor is self-identifying instead of silently suspect.
+
+Per-attempt detail rows are taken from bench_regime.jsonl, which is
+REMOVED before each attempt (r13 ADVICE: substring-matching the
+repo-level jsonl let rows from earlier suite runs leak into the floor
+artifact; graft.Bench resets the file itself, but the guard must not
+depend on which GRAFT_MAIN ran last).
+
+Emits ISOLATED-style JSON:
+  {"sf": ..., "method": ..., "queries": {name: {
+      "sec": best, "calm_pair": bool, "attempts": [sec...],
+      "regime": {...}, "runs": [per-timing rows of the best attempt]}}}
 
 Usage: tools/isolated_floors.py <sfdir> <out.json> <query> [query...]
+  env: GRAFT_FLOOR_ATTEMPTS (max fresh JVMs per query, default 5)
+       GRAFT_FLOOR_TOL      (calm agreement tolerance, default 0.10)
 """
 import json
 import os
@@ -14,43 +35,75 @@ import subprocess
 import sys
 
 
+def one_attempt(repo: str, sfdir: str, q: str):
+    """One fresh-JVM bench of `q`; returns (sec, regime, runs)."""
+    env = dict(os.environ)
+    env["SPARK_GRAFT_ONLY"] = q
+    env.setdefault("SPARK_DRIVER_MEM", "48g")
+    regime_path = os.path.join(repo, "bench_regime.jsonl")
+    try:
+        os.remove(regime_path)
+    except OSError:
+        pass
+    subprocess.run(
+        [os.path.join(repo, "tools", "run_bench.sh"), sfdir],
+        env=env, cwd=repo, check=True,
+        stdout=subprocess.DEVNULL, timeout=900)
+    with open(os.path.join(repo, "bench_last.json")) as f:
+        line = json.load(f)
+    sec = line["queries"][shorten(q)]
+    regime = line.get("regime_all_runs", line.get("regime", {}))
+    runs = []
+    try:
+        with open(regime_path) as f:
+            runs = [json.loads(l) for l in f if l.strip()]
+    except OSError:
+        pass
+    return sec, regime, runs
+
+
 def main() -> None:
     sfdir, out = sys.argv[1], sys.argv[2]
     queries = sys.argv[3:]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    max_attempts = int(os.environ.get("GRAFT_FLOOR_ATTEMPTS", "5"))
+    tol = float(os.environ.get("GRAFT_FLOOR_TOL", "0.10"))
     results = {}
     for i, q in enumerate(queries):
-        env = dict(os.environ)
-        env["SPARK_GRAFT_ONLY"] = q
-        env.setdefault("SPARK_DRIVER_MEM", "48g")
+        attempts = []   # [(sec, regime, runs)]
+        calm = False
         try:
-            subprocess.run(
-                [os.path.join(repo, "tools", "run_bench.sh"), sfdir],
-                env=env, cwd=repo, check=True,
-                stdout=subprocess.DEVNULL, timeout=900)
-            with open(os.path.join(repo, "bench_last.json")) as f:
-                line = json.load(f)
-            sec = line["queries"][shorten(q)]
-            regime = line.get("regime_all_runs", line.get("regime", {}))
-            results[q] = {"sec": sec, "regime": regime}
-            # per-timing detail rows (input_mb / task_ms / task_cpu_ms,
-            # r13) for suite-vs-floor attribution
-            try:
-                with open(os.path.join(repo, "bench_regime.jsonl")) as f:
-                    results[q]["runs"] = [
-                        json.loads(l) for l in f if f'"q":"{q}"' in l]
-            except OSError:
-                pass
-            print(f"[{i+1}/{len(queries)}] {q:35s} {sec:8.3f}s "
-                  f"sys={regime.get('sys_share', -1)}", flush=True)
+            while len(attempts) < max_attempts:
+                attempts.append(one_attempt(repo, sfdir, q))
+                secs = sorted(a[0] for a in attempts if a[0] >= 0)
+                print(f"  attempt {len(attempts)}: {attempts[-1][0]:.3f}s",
+                      flush=True)
+                if len(secs) >= 2 and secs[1] <= secs[0] * (1 + tol):
+                    calm = True
+                    break
+            secs = [a[0] for a in attempts]
+            valid = [a for a in attempts if a[0] >= 0]
+            if not valid:
+                raise RuntimeError("no successful attempt")
+            best = min(valid, key=lambda a: a[0])
+            results[q] = {"sec": best[0], "calm_pair": calm,
+                          "attempts": secs, "regime": best[1],
+                          "runs": best[2]}
+            flag = "" if calm else "  [NO CALM PAIR - suspect]"
+            print(f"[{i+1}/{len(queries)}] {q:35s} {best[0]:8.3f}s "
+                  f"({len(attempts)} attempts){flag}", flush=True)
         except Exception as e:  # noqa: BLE001 - record and continue
-            results[q] = {"sec": -1, "error": str(e)[:200]}
+            results[q] = {"sec": -1, "calm_pair": False,
+                          "attempts": [a[0] for a in attempts],
+                          "error": str(e)[:200]}
             print(f"[{i+1}/{len(queries)}] {q:35s} FAILED: {e}", flush=True)
     doc = {
         "sf": sfdir,
-        "method": ("fresh JVM per query; graft.Bench internal min-of-2 "
-                   "(3rd sample on >1.5x spread); regime per entry "
-                   "(all-runs scope)"),
+        "method": (f"fresh JVM per attempt, up to {max_attempts} attempts, "
+                   f"accepted when best two agree within {tol:.0%} "
+                   "(storm rejection, r14); graft.Bench internal min-of-2 "
+                   "(3rd sample on >1.5x spread) per attempt; regime+runs "
+                   "from the best attempt only"),
         "queries": results,
     }
     with open(out, "w") as f:
