@@ -13,7 +13,69 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] object BenchKernel {
 
+  /** In-process heap pinning (r14, verdict item 1). The r13 suite-tax
+    * finding: the between-timings `System.gc()` lets G1 SHRINK the
+    * committed heap, and the next heavy query re-grows it through the
+    * kernel's page-fault/THP path INSIDE its timed window, booked as
+    * inflated user/sys CPU (measured: an in-suite q07 slot at 2014 s
+    * thread-CPU for 74.5 s wall with gc only 5.5 s; same-code pass
+    * pair 686.6 → 518.6 s once pinned). The r13 fix lived in
+    * `tools/run_bench.sh` (-Xms=-Xmx + AlwaysPreTouch) — but the
+    * driver's harness launches `graft.Bench` its own way, so the
+    * OFFICIAL artifact stayed exposed (BENCH_r13.json paid 20 s gc +
+    * ~49 s storm inflation the same-code builder pass didn't).
+    *
+    * Two layers, both no-ops under an already-pinned launcher:
+    *  1. [[engage]] sets the manageable HotSpot flag
+    *     `MaxHeapFreeRatio=100` so a full GC can never uncommit heap,
+    *     then grows+touches the committed heap to max ONCE, outside
+    *     any timed window.
+    *  2. [[regrow]] runs after every between-timings `System.gc()` as
+    *     the self-healing fallback (flag not settable on some JVM, or
+    *     an uncommit path the flag doesn't cover): if committed has
+    *     fallen below max, re-grow and re-fault it there and then —
+    *     outside the next timed window — instead of letting the next
+    *     heavy query pay it in-band. One long comparison when pinned.
+    */
+  object HeapPin {
+    @volatile private var flagSet = false
+    def engaged: Boolean = flagSet
+
+    def engage(): Unit = {
+      try {
+        val bean = java.lang.management.ManagementFactory.getPlatformMXBean(
+          classOf[com.sun.management.HotSpotDiagnosticMXBean])
+        bean.setVMOption("MaxHeapFreeRatio", "100")
+        flagSet = true
+      } catch { case _: Throwable => () }
+      regrow()
+    }
+
+    /** Grow the committed heap to ~max and fault every page, holding
+      * the allocations only for the duration of the call. The JVM's
+      * array zeroing already writes each page; the explicit stride-4K
+      * touch guards against pre-zeroed-memory paths. Stops 256 MB
+      * short of max (allocation headroom), backs off on OOM.
+      */
+    def regrow(): Unit = {
+      val rt = Runtime.getRuntime
+      val headroom = 256L << 20
+      if (rt.maxMemory() - rt.totalMemory() <= headroom) return
+      val hold = new java.util.ArrayList[Array[Byte]]()
+      try
+        while (rt.maxMemory() - rt.totalMemory() > headroom) {
+          val a = new Array[Byte](32 << 20)
+          var i = 0
+          while (i < a.length) { a(i) = 1; i += 4096 }
+          hold.add(a): Unit
+        }
+      catch { case _: OutOfMemoryError => () }
+      finally hold.clear()
+    }
+  }
+
   def buildSession(): SparkSession = {
+    HeapPin.engage()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // AQE stays on (runtime broadcast conversion + partition coalescing
     // help the join-heavy queries even at bench scale); env knob for
@@ -114,7 +176,12 @@ private[graft] object BenchKernel {
     def json: String =
       s"""{"shuffle_write_mb":$shuffleWriteMb,"spill_mb":$spillMb,""" +
         f""""sys_share":$sysShare%.3f,"host_iowait_share":$iowaitShare%.3f,""" +
-        s""""gc_sec":${gcMs / 1000},"timed_runs":$timedRuns}"""
+        s""""gc_sec":${gcMs / 1000},"timed_runs":$timedRuns,""" +
+        // artifact self-description (r14): was the heap shrink-proofed
+        // in-process, and at what committed size did the suite end —
+        // an unpinned-looking artifact is adjudicable at a glance
+        s""""heap_pin":${HeapPin.engaged},""" +
+        s""""heap_mb":${Runtime.getRuntime.totalMemory() >> 20}}"""
   }
 
   private def regimeLine(line: String): Unit =
@@ -185,6 +252,9 @@ private[graft] object BenchKernel {
     // inflate allocation-heavy queries 3-5× (measured on q53).
     // Explicit GC between timings isolates each query's own cost.
     System.gc()
+    // re-commit + re-fault any heap the GC just uncommitted, OUTSIDE
+    // the timed window (no-op when the MaxHeapFreeRatio pin held)
+    HeapPin.regrow()
     settleScratch(spark)
     val before = if (probe) graft.tools.JvmProbe.snapshot(spark) else Nil
     val cpu0 = graft.tools.JvmProbe.cpuTimes.toMap
