@@ -85,8 +85,22 @@ object PageRank {
     // shave: q101 5.3 → 3.9 s at sf0.1).
     val dec = DecimalType(38, 0)
     val sel = edges.select(col("a"), col("b"))
+    // SNAPSHOT the parsed edge list first — one eager localCheckpoint
+    // BEFORE the loop scope (r14, the bucketed-q101 fix): every plan
+    // built past this line sees a block-backed LogicalRDD, never the
+    // source scan, so the source LAYOUT cannot shape the loop. In r13
+    // the loop derived from the 64-file sort-trusted bucketed catalog
+    // scan and re-planned against its shape every round (~15
+    // re-derivations at ~6 cores average parallelism, 38 → 154 s at
+    // 100×); a checkpoint is layout-blind and its one build job reads
+    // the source exactly once, same scan ledger as before. It also
+    // buys an EXACT row count read off the checkpointed blocks — the
+    // loop partitions now size from the real edge cardinality
+    // (partsForRows) instead of the scan-shape byte estimate.
+    val cp = sel.localCheckpoint()
+    val parts = TightLoop.partsForRows(cp.sparkSession, cp.count())
     // The whole iteration executes HERE, inside a TightLoop scope (AQE
-    // off + stats-sized partitions), as ONE job ending in an eager
+    // off + data-sized partitions), as ONE job ending in an eager
     // localCheckpoint: under AQE the caller's action ran every
     // exchange as its own scheduling round-trip (probe-measured 19
     // jobs for 5 rounds — more wall in stage latency than in compute),
@@ -95,11 +109,11 @@ object PageRank {
     // round join is exchange-free by construction — v comes out of the
     // previous round's groupBy hash-split exactly like the cached edge
     // layout — so the per-round cost is the single destination-sum
-    // exchange, at partitions sized to the edge estimate.
-    TightLoop.scoped(sel.sparkSession, TightLoop.partsFor(sel)) {
+    // exchange.
+    TightLoop.scoped(cp.sparkSession, parts) {
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
       val e = graft.CacheScope.scoped(
-        sel.repartition(col("a")).withColumn("d", count(lit(1)).over(w)))
+        cp.repartition(col("a")).withColumn("d", count(lit(1)).over(w)))
       // Numeric width for the rounds: measure max degree off the
       // cached edge table (materializes the cache one job early —
       // the loop job then reads it back; same total work) and take
