@@ -75,6 +75,54 @@ object ArrayKernels {
     c
   }
 
+  /** All ordered pairs (v_i, v_j), i < j after an internal sort, of a
+    * long array — the market-basket pair generator (q128). The r7–r13
+    * forms generated k² rows per basket (self-join, then
+    * explode×explode) and filtered `pa < pb` afterwards, discarding
+    * half the generated rows by construction; the r12 higher-order
+    * `filter(parts, ...)` fix measured WORSE (interpreted lambda,
+    * 11.4 vs 8.5 s at 100× — negative result in the query doc). This
+    * kernel emits exactly k(k−1)/2 pair structs in one codegen'd
+    * call — the `CharNgramHashesSorted` precedent: replace
+    * interpreted per-element array work with a primitive scan.
+    *
+    * Elements are sorted inside the kernel (collect_set order is
+    * partition-dependent; the SORTED pair (min, max) is what the
+    * `a.key < b.key` self-join form produced). Null elements are
+    * skipped. Inputs are distinct by contract (collect_set); duplicate
+    * values would emit duplicate pairs, same as the self-join form.
+    */
+  def orderedLongPairs(a: ArrayData): ArrayData = {
+    val n0 = a.numElements()
+    val v = new Array[Long](n0)
+    var n = 0
+    var i = 0
+    while (i < n0) {
+      if (!a.isNullAt(i)) { v(n) = a.getLong(i); n += 1 }
+      i += 1
+    }
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    // k(k-1)/2 must stay an Int: baskets are input-bounded (≈4-7 lines
+    // per order at any TPC-H scale); fail loudly on pathological input
+    // rather than corrupt the pair count
+    require(n <= 65535, s"orderedLongPairs: basket of $n elements would emit >2^31 pairs")
+    java.util.Arrays.sort(v, 0, n)
+    val out = new Array[Any](n * (n - 1) / 2)
+    var p = 0
+    i = 0
+    while (i < n - 1) {
+      var j = i + 1
+      while (j < n) {
+        out(p) = org.apache.spark.sql.catalyst.InternalRow(v(i), v(j))
+        p += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Count of common elements of two SORTED long arrays (duplicates
     * counted min-wise, like multiset intersection; inputs from
     * `array_sort` of distinct hashes are duplicate-free in practice).
@@ -119,6 +167,37 @@ case class CharNgramHashesSorted(child: Expression, n: Int)
 object CharNgramHashesSorted {
   def apply(text: Column, n: Int): Column =
     ColumnBridge.column(CharNgramHashesSorted(ColumnBridge.expression(text), n))
+}
+
+/** See [[ArrayKernels.orderedLongPairs]]. */
+case class OrderedLongPairs(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pa", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("pb", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<bigint> input, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayKernels.orderedLongPairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayKernels.orderedLongPairs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): OrderedLongPairs =
+    copy(child = newChild)
+}
+
+object OrderedLongPairs {
+  def apply(arr: Column): Column =
+    ColumnBridge.column(OrderedLongPairs(ColumnBridge.expression(arr)))
 }
 
 /** See [[ArrayKernels.sortedLongIntersectCount]]. */

@@ -1007,17 +1007,19 @@ object AnalyticsQueries {
       val ic = baskets
         .select(explode(col("parts")).as("l_partkey"))
         .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
-      // NOTE (r12 negative result): filtering the array with a
-      // higher-order `filter(parts, _ > pa)` before the second explode
-      // halves generated rows on paper but takes the expression out of
-      // whole-stage codegen (per-element lambda interpretation) — same-
-      // window fresh-JVM samples read it at/above this form's minima
-      // (11.4 vs 8.5 s at 100×), never below. The codegen'd
-      // cross+filter stays.
+      // Pair generation (r14): ONE codegen'd kernel call emits exactly
+      // the k(k−1)/2 ordered pairs per basket
+      // ([[graft.functions.OrderedLongPairs]]) through a single
+      // builtin explode — half the generated rows of the r13
+      // explode×explode+filter form, one Generate instead of two.
+      // NOTE (r12 negative result, kept): the higher-order
+      // `filter(parts, _ > pa)` variant halves rows on paper but takes
+      // the expression out of whole-stage codegen (per-element lambda
+      // interpretation) — measured 11.4 vs 8.5 s at 100×, never below;
+      // the fix had to live at the kernel tier.
       val pr = baskets
-        .select(explode(col("parts")).as("pa"), col("parts"))
-        .select(col("pa"), explode(col("parts")).as("pb"))
-        .filter(col("pa") < col("pb"))
+        .select(explode(graft.functions.OrderedLongPairs(col("parts"))).as("p"))
+        .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("cab"))
         .filter(col("cab") >= 2)
       pr.join(ic.withColumnRenamed("l_partkey", "pa")
