@@ -91,12 +91,14 @@ object ScanBudgets {
     // source mix model (per-source counts) + per-doc sampling pass +
     // survivor projection
     "q76_mixture_sample" -> Map("documents" -> 3),
-    // document frequencies (model), corpus size (model), postings
-    "q78_tfidf_topk" -> Map("documents" -> 3),
+    // ONE tokenize pass feeding both tf and df (count-table tier,
+    // r14) + the metadata-cheap corpus-size count
+    "q78_tfidf_topk" -> Map("documents" -> 2),
     // centroid model from the sliver + assignment pass
     "q79_kmeans_step" -> Map("embeddings" -> 2),
-    // unigram LM: vocabulary + token counts (model) + per-doc apply
-    "q86_unigram_logprob" -> Map("documents" -> 3),
+    // unigram LM: vocabulary count table (n_tok folds off it, r14)
+    // + per-doc apply pass
+    "q86_unigram_logprob" -> Map("documents" -> 2),
     // count-table driver tier (r13): the returned frame is
     // driver-assembled; the one fact scan is the count-table cache
     // build under the probe/sketch actions (declared below)

@@ -846,9 +846,20 @@ object TextQueries {
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir).documentsSpread
       val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val df = tok.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val n = docs.agg(count(lit(1)).as("n_docs"))
+      // ONE tokenize pass (r14, the count-table tier): tf's grain is
+      // already distinct (doc_id, token), so df — the count of
+      // documents containing the token — is a per-token COUNT OF ROWS
+      // of the tf table. The r10 form derived df from its own
+      // `tok.distinct()` subtree, which Catalyst shares with nothing:
+      // the corpus was scanned, tokenized and exploded TWICE, plus a
+      // (doc_id, token)-grain distinct exchange that tf's groupBy had
+      // already paid. n_docs must still come from the corpus (a doc
+      // with no tokens is absent from tf but counts in N) — a
+      // column-less parquet count, metadata-cheap.
+      val tf = graft.CacheScope.scoped(
+        tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf")))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = Tables(s, dir).documents.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(broadcast(df), "token").crossJoin(broadcast(n))
         .select(col("doc_id"), col("token"),
           (col("tf") * log(col("n_docs").cast(DoubleType) / col("df")))
@@ -892,8 +903,14 @@ object TextQueries {
       val tok = docs.select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("pos0", "token")))
         .withColumn("pos", col("pos0") + 1)
-      val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
-      val n = tok.agg(count(lit(1)).cast(DoubleType).as("n_tok"))
+      // n_tok = Σ vocab.c — the corpus token count folds off the
+      // vocabulary count table instead of its own full tokenize pass
+      // (r14: three corpus scans → two; the double sum over vocab
+      // rows is the same exact integer-to-double total). The vocab
+      // table persists only for the duration of the two derivations.
+      val vocab = graft.CacheScope.scoped(
+        tok.groupBy(col("token")).agg(count(lit(1)).as("c")))
+      val n = vocab.agg(sum(col("c")).cast(DoubleType).as("n_tok"))
       val lp = vocab.crossJoin(broadcast(n))
         .select(col("token"), log(col("c") / col("n_tok")).as("logp"))
       // position-ordered fold via the fused kernel (one primitive
