@@ -51,8 +51,13 @@ final case class QueryDef(
   def withScanBudget(budgets: (String, Int)*): QueryDef =
     copy(scanBudgets = scanBudgets ++ budgets)
 
-  /** Default: every table is scanned at most once per execution. */
-  def scanBudget(table: String): Int = scanBudgets.getOrElse(table, 1)
+  /** Default: every table is scanned at most once per execution.
+    * Census names from the bucketed warehouse (`bk_lineitem`) map to
+    * their logical table's budget — the budget is a property of the
+    * QUERY PLAN, not of which layout served the scan.
+    */
+  def scanBudget(table: String): Int =
+    scanBudgets.getOrElse(table.stripPrefix("bk_"), 1)
 
   /** Declare file scans this query runs at BUILD time via its own
     * driver actions (rank/offset jobs, pre-counts) — on top of the
@@ -67,7 +72,7 @@ final case class QueryDef(
     * job-level: the plan budget plus declared build-time actions.
     */
   def ledgerBudget(table: String): Int =
-    scanBudget(table) + buildActionScans.getOrElse(table, 0)
+    scanBudget(table) + buildActionScans.getOrElse(table.stripPrefix("bk_"), 0)
 }
 
 object QueryDef {

@@ -47,10 +47,17 @@ object ScanCensus {
     def walk(n: SparkPlan): Unit = {
       n match {
         case f: FileSourceScanExec =>
-          // one hit per scan node per distinct table under its roots
-          hits ++= f.relation.location.rootPaths
+          // one hit per scan node per distinct table under its roots;
+          // catalog tables (the bucketed warehouse's bk_*) have plain
+          // directory roots with no .parquet component — name those by
+          // their table identifier so bucketed runs stay ledger-visible
+          // (r14: the bucketed Verify artifact must show bk_lineitem
+          // reads, and budgets must keep binding over either layout)
+          val byPath = f.relation.location.rootPaths
             .flatMap(p => TableRe.findFirstMatchIn(p.toString).map(_.group(1)))
             .distinct
+          hits ++= (if (byPath.nonEmpty) byPath
+                    else f.tableIdentifier.map(_.table).toSeq)
         case a: AdaptiveSparkPlanExec =>
           walk(a.inputPlan)
         case im: InMemoryTableScanExec =>
