@@ -47,7 +47,10 @@ object Verify {
           d.build(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
         }
-        val over = counts.filter { case (t, c) => c > d.ledgerBudget(t) }
+        // fold both layouts of a table into one budget check (raw
+        // counts stay in the artifact as bk_* ledger evidence)
+        val over = d.byLogicalTable(counts)
+          .filter { case (t, c) => c > d.ledgerBudget(t) }
         ledgers(name) = (counts, over)
         over.foreach { case (t, c) =>
           System.err.println(

@@ -89,8 +89,11 @@ object ArrayKernels {
     * Elements are sorted inside the kernel (collect_set order is
     * partition-dependent; the SORTED pair (min, max) is what the
     * `a.key < b.key` self-join form produced). Null elements are
-    * skipped. Inputs are distinct by contract (collect_set); duplicate
-    * values would emit duplicate pairs, same as the self-join form.
+    * skipped. Inputs are distinct by contract (collect_set); on
+    * duplicate values this kernel and the self-join form DIVERGE —
+    * index-based i<j emits the (x, x) pair a value-based `pa < pb`
+    * join excludes — so a caller feeding non-distinct arrays must
+    * dedup first (r14 ADVICE).
     */
   def orderedLongPairs(a: ArrayData): ArrayData = {
     val n0 = a.numElements()
@@ -105,10 +108,14 @@ object ArrayKernels {
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     // k(k-1)/2 must stay an Int: baskets are input-bounded (≈4-7 lines
     // per order at any TPC-H scale); fail loudly on pathological input
-    // rather than corrupt the pair count
-    require(n <= 65535, s"orderedLongPairs: basket of $n elements would emit >2^31 pairs")
+    // rather than corrupt the pair count. Sized in Long first — for n
+    // in [46342, 65535] the product n*(n-1) itself overflows Int even
+    // where the pair count fits (r14 ADVICE).
+    val pairs = n.toLong * (n - 1) / 2
+    require(pairs <= Int.MaxValue,
+      s"orderedLongPairs: basket of $n elements would emit $pairs > 2^31-1 pairs")
     java.util.Arrays.sort(v, 0, n)
-    val out = new Array[Any](n * (n - 1) / 2)
+    val out = new Array[Any](pairs.toInt)
     var p = 0
     i = 0
     while (i < n - 1) {

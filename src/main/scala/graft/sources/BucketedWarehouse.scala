@@ -49,6 +49,33 @@ object BucketedWarehouse {
     "customer" -> ("c_custkey", 64),
     "part" -> ("p_partkey", 64))
 
+  /** Foreign-key fact twins (r15): a second bucketed projection of a
+    * fact table, keyed for the joins the primary layout cannot serve —
+    * the r14 verdict's last two structural gaps (q07 lineitem⋈part on
+    * partkey at 7.8 s vs DuckDB 0.42 calm at 100×; q13 orders⋈customer
+    * on custkey at 4.4 vs 0.28 — the fact side paid the full shuffle
+    * the warehouse was built to eliminate). Keyed by twin suffix:
+    * physical table `bk_<suffix>`, value = (logical table, bucket key,
+    * buckets). Bucket counts match the dimension they co-locate with
+    * (`part`/`customer` at 64) so the join planes exchange-free.
+    * A query opts in per-table via [[graft.QueryDef.withTwinLayout]];
+    * nothing resolves a twin by default.
+    */
+  val twins: Map[String, (String, String, Int)] = Map(
+    "lineitem_pk" -> (("lineitem", "l_partkey", 64)),
+    "orders_ck" -> (("orders", "o_custkey", 64)))
+
+  /** Logical table behind a scan-census name: strips the `bk_` prefix
+    * and folds twin suffixes back to their base table, so scan budgets
+    * bind on the QUERY's logical table whichever layout served it
+    * (r14 ADVICE: normalize at one place instead of in every budget
+    * lookup).
+    */
+  def logicalName(censusName: String): String = {
+    val base = censusName.stripPrefix("bk_")
+    twins.get(base).map(_._1).getOrElse(base)
+  }
+
   /** System-property twin of the env toggle so an in-process spec can
     * flip resolution on (the JVM cannot set its own environment); the
     * env wins when both are set.
@@ -117,9 +144,9 @@ object BucketedWarehouse {
   private val layoutCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Boolean]()
 
-  private def layoutOk(spark: SparkSession, wh: String, name: String): Boolean =
+  private def layoutOk(
+      spark: SparkSession, wh: String, name: String, buckets: Int): Boolean =
     layoutCache.containsKey((wh, name)) || {
-      val buckets = tables(name)._2
       val ok =
         try {
           val (files, ids) = BucketedTables.bucketFileCensus(spark, s"bk_$name")
@@ -136,21 +163,36 @@ object BucketedWarehouse {
       ok
     }
 
+  // one guarded catalog lookup, shared by primary and twin resolution
+  private def resolveTable(
+      spark: SparkSession, wh: String, sfDir: String,
+      physName: String, buckets: Int): Option[DataFrame] =
+    if (markerMatches(wh, sfDir) && spark.catalog.tableExists(s"bk_$physName") &&
+        layoutOk(spark, wh, physName, buckets))
+      Some(spark.table(s"bk_$physName"))
+    else None
+
   /** The bucketed table for `name`, iff the env names a warehouse
     * built from exactly `sfDir`, the session can see its catalog, the
     * table is one of the bucketed set, and its layout still honors
     * one-file-per-bucket. None → caller reads plain parquet. A query
     * under [[LayoutPreference.withPlain]] skips resolution entirely
     * (per-workload layout dispatch, r14 — iterative rescanners want
-    * the splittable plain scan).
+    * the splittable plain scan). A query that declared a twin
+    * preference for `name` resolves the foreign-key twin instead,
+    * falling back twin → primary → plain so a warehouse without the
+    * twin stays correct, just slower.
     */
   def resolve(
       spark: SparkSession, sfDir: String, name: String): Option[DataFrame] =
     whDir.filter(_ => tables.contains(name) && !LayoutPreference.plainPinned)
       .flatMap { wh =>
-        if (markerMatches(wh, sfDir) && spark.catalog.tableExists(s"bk_$name") &&
-            layoutOk(spark, wh, name))
-          Some(spark.table(s"bk_$name"))
-        else None
+        val twin = LayoutPreference.twinFor(name).flatMap { suffix =>
+          twins.get(suffix).collect { case (`name`, _, buckets) =>
+            resolveTable(spark, wh, sfDir, suffix, buckets)
+          }.flatten
+        }
+        twin.orElse(
+          resolveTable(spark, wh, sfDir, name, tables(name)._2))
       }
 }

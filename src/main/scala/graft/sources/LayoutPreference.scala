@@ -31,4 +31,24 @@ object LayoutPreference {
     pinPlain.set(java.lang.Boolean.TRUE)
     try body finally pinPlain.set(prev)
   }
+
+  // Twin preference (r15): logical table → twin suffix (the key of
+  // [[BucketedWarehouse.twins]]). A query whose dominant join runs on
+  // a FOREIGN key (q07's lineitem⋈part on partkey, q13's
+  // orders⋈customer on custkey) wants the fact re-bucketed on that
+  // key — a second projection of the fact, standard practice at
+  // 100 TB — while the rest of the suite keeps the primary layout.
+  private val twinPref: ThreadLocal[Map[String, String]] =
+    ThreadLocal.withInitial(() => Map.empty[String, String])
+
+  /** The twin suffix the current query build prefers for `logical`
+    * (None → primary bucketed layout, then plain parquet).
+    */
+  def twinFor(logical: String): Option[String] = twinPref.get.get(logical)
+
+  def withTwins[A](twins: Map[String, String])(body: => A): A = {
+    val prev = twinPref.get
+    twinPref.set(prev ++ twins)
+    try body finally twinPref.set(prev)
+  }
 }

@@ -12,13 +12,27 @@ import graft.sources.{BucketedTables, BucketedWarehouse}
   * later lineitem⋈orders join or orderkey aggregation reads it back
   * shuffle-free.
   *
-  * Usage: runMain graft.tools.BuildWarehouse <sfDir> <whDir>
+  * Usage: runMain graft.tools.BuildWarehouse <sfDir> <whDir> [table...]
   * then e.g.  GRAFT_BUCKETED_WH=<whDir> ... graft.Bench
+  * With no table list, builds every primary AND every foreign-key twin
+  * ([[BucketedWarehouse.twins]]); a list (logical names like `orders`,
+  * or twin suffixes like `orders_ck`) builds just those — the cheap way
+  * to add a twin to an existing warehouse without re-shuffling the
+  * primaries.
+  *
+  * Rebuild constraint: [[BucketedWarehouse]] memoizes marker and
+  * layout probes positively for the JVM lifetime (resolution runs per
+  * table per query build) — an in-place REBUILD of a warehouse a live
+  * session already resolved requires restarting that session. Builds
+  * here are one-shot JVMs, so the constraint binds only on long-lived
+  * servers pointing at a warehouse being rewritten underneath them.
   */
 object BuildWarehouse {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: BuildWarehouse <sfDir> <whDir>")
-    val Array(sfDir, whDir) = args
+    require(args.length >= 2, "usage: BuildWarehouse <sfDir> <whDir> [table...]")
+    val sfDir = args(0)
+    val whDir = args(1)
+    val wanted = args.drop(2).toSet
     // whDir covers BOTH the env var and its graft.bucketed.wh sysprop
     // twin (r13 ADVICE): either one set would make Tables resolve the
     // source reads from a PREVIOUS warehouse instead of plain parquet
@@ -39,10 +53,18 @@ object BuildWarehouse {
     val t = graft.Tables(spark, sfDir)
     val src = Map("lineitem" -> t.lineitem, "orders" -> t.orders,
       "customer" -> t.customer, "part" -> t.part)
-    BucketedWarehouse.tables.foreach { case (name, (key, buckets)) =>
+    // physical name → (source table, bucket key, buckets): the four
+    // primaries plus the foreign-key twins
+    val all: Seq[(String, (String, String, Int))] =
+      BucketedWarehouse.tables.toSeq.map { case (n, (k, b)) => n -> ((n, k, b)) } ++
+        BucketedWarehouse.twins.toSeq
+    val todo = all.filter { case (phys, _) => wanted.isEmpty || wanted(phys) }
+    require(todo.nonEmpty, s"no such tables: $wanted — " +
+      s"known: ${all.map(_._1).sorted.mkString(", ")}")
+    todo.foreach { case (phys, (logical, key, buckets)) =>
       val t0 = System.nanoTime()
-      BucketedTables.writeBucketed(src(name), s"bk_$name", key, buckets)
-      println(f"bk_$name%-12s by $key%-12s $buckets buckets  " +
+      BucketedTables.writeBucketed(src(logical), s"bk_$phys", key, buckets)
+      println(f"bk_$phys%-16s by $key%-12s $buckets buckets  " +
         f"${(System.nanoTime() - t0) / 1e9}%6.1f s")
     }
     BucketedWarehouse.writeMarker(whDir, sfDir)

@@ -28,7 +28,8 @@ object ScanAudit {
       try {
         val counts = graft.plans.ScanCensus.tableScans(d.run(spark, sfDir))
         val hot = counts.filter { case (t, c) => c >= math.max(minScans, 1) }
-        val over = counts.filter { case (t, c) => c > d.scanBudget(t) }
+        val over = d.byLogicalTable(counts)
+          .filter { case (t, c) => c > d.scanBudget(t) }
         if (hot.nonEmpty || over.nonEmpty) {
           val mark = if (over.nonEmpty) "OVER-BUDGET" else ""
           println(f"${d.name}%-28s ${hot.map { case (t, c) => s"$t x$c" }.mkString(", ")}%-36s $mark")

@@ -325,7 +325,7 @@ class PlanQualitySpec extends AnyFunSuite {
       val counts =
         try plans.ScanCensus.tableScans(d.run(spark, dir))
         finally CacheScope.drain()
-      counts.collect {
+      d.byLogicalTable(counts).collect {
         case (t, c) if c > d.scanBudget(t) =>
           s"${d.name}: $t scanned ${c}x, budget ${d.scanBudget(t)}"
       }

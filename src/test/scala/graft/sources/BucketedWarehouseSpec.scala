@@ -26,22 +26,25 @@ class BucketedWarehouseSpec extends AnyFunSuite {
   private def withWarehouse[A](body: => A): A = {
     val wh = Files.createTempDirectory("bk-wh").toString
     val t = Tables(spark, sfDir)
+    def src(name: String) = name match {
+      case "lineitem" => t.lineitem
+      case "orders" => t.orders
+      case "customer" => t.customer
+      case "part" => t.part
+    }
     BucketedWarehouse.tables.foreach { case (name, (key, buckets)) =>
-      val src = name match {
-        case "lineitem" => t.lineitem
-        case "orders" => t.orders
-        case "customer" => t.customer
-        case "part" => t.part
-      }
-      BucketedTables.writeBucketed(src, s"bk_$name", key, buckets)
+      BucketedTables.writeBucketed(src(name), s"bk_$name", key, buckets)
+    }
+    BucketedWarehouse.twins.foreach { case (phys, (logical, key, buckets)) =>
+      BucketedTables.writeBucketed(src(logical), s"bk_$phys", key, buckets)
     }
     BucketedWarehouse.writeMarker(wh, sfDir)
     sys.props(BucketedWarehouse.PropKey) = wh
     try body
     finally {
       sys.props.remove(BucketedWarehouse.PropKey)
-      BucketedWarehouse.tables.keys.foreach(n =>
-        spark.sql(s"DROP TABLE IF EXISTS bk_$n"))
+      (BucketedWarehouse.tables.keys ++ BucketedWarehouse.twins.keys)
+        .foreach(n => spark.sql(s"DROP TABLE IF EXISTS bk_$n"))
     }
   }
 
@@ -133,6 +136,67 @@ class BucketedWarehouseSpec extends AnyFunSuite {
       }
       assert(BucketedWarehouse.resolve(spark, sfDir, "lineitem").isDefined,
         "the pin must not outlive its scope")
+    }
+  }
+
+  test("a twin preference resolves the foreign-key twin, scoped; absent twin falls back to primary") {
+    withWarehouse {
+      def scans(name: String): String = {
+        val df = BucketedWarehouse.resolve(spark, sfDir, name).get
+        df.queryExecution.executedPlan.toString
+      }
+      // no preference → primary
+      assert(scans("lineitem").contains("bk_lineitem"))
+      LayoutPreference.withTwins(Map("lineitem" -> "lineitem_pk")) {
+        assert(scans("lineitem").contains("bk_lineitem_pk"),
+          "twin preference must resolve the l_partkey twin")
+        // other tables unaffected
+        assert(scans("orders").contains("bk_orders"))
+        // a preference naming a twin of a DIFFERENT logical table is
+        // ignored (never serve orders rows for a lineitem read)
+        LayoutPreference.withTwins(Map("lineitem" -> "orders_ck")) {
+          assert(scans("lineitem").contains("bk_lineitem")
+            && !scans("lineitem").contains("bk_lineitem_pk"))
+        }
+      }
+      // scope ended → primary again
+      assert(!scans("lineitem").contains("bk_lineitem_pk"))
+      // twin dropped → preference falls back to the primary layout
+      spark.sql("DROP TABLE IF EXISTS bk_lineitem_pk")
+      LayoutPreference.withTwins(Map("lineitem" -> "lineitem_pk")) {
+        assert(scans("lineitem").contains("bk_lineitem"),
+          "missing twin must fall back to the primary bucketed table")
+      }
+    }
+  }
+
+  test("q07/q13 resolve their twins and stay byte-identical to the plain layout") {
+    val names = Seq("q07_top_parts_per_brand", "q13_customer_order_counts")
+    val plain = names.map(n => n -> run(n)).toMap
+    withWarehouse {
+      names.foreach { n =>
+        val d = SparkEntry.defs.find(_.name == n).get
+        val plan = d.build(spark, sfDir).queryExecution.executedPlan.toString
+        val twin = if (n.startsWith("q07")) "bk_lineitem_pk" else "bk_orders_ck"
+        assert(plan.contains(twin), s"$n should scan $twin:\n${plan.take(600)}")
+        assert(run(n) == plain(n), s"$n diverges over the twin layout")
+      }
+    }
+  }
+
+  test("the partkey twin joins bk_part without an exchange on either side") {
+    withWarehouse {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try LayoutPreference.withTwins(Map("lineitem" -> "lineitem_pk")) {
+        val t = Tables(spark, sfDir)
+        val joined = t.lineitem.join(t.part, col("p_partkey") === col("l_partkey"))
+          .groupBy(col("p_brand")).count()
+        val plan = joined.queryExecution.executedPlan.toString
+        val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+        // one exchange for the groupBy on a non-bucket key; ZERO for
+        // the join itself
+        assert(exchanges <= 1, s"expected the partkey join exchanges gone, got $exchanges:\n${plan.take(800)}")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
 
