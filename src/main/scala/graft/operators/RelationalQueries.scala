@@ -233,18 +233,33 @@ object RelationalQueries {
         |ORDER BY p_brand, rnk""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val t = Tables(s, dir)
-      val pr = t.lineitem.join(t.part, col("p_partkey") === col("l_partkey"))
-        .groupBy(col("p_brand"), col("p_partkey"))
-        .agg(dbl(sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))).as("revenue"))
+      // Aggregation pushdown below the join (r15): p_partkey
+      // functionally determines p_brand, so grouping by (p_brand,
+      // p_partkey) ≡ grouping by partkey alone — aggregate the fact
+      // FIRST (60M rows → ≤|part| compact rows), then join the tiny
+      // aggregate to part. The join-then-aggregate form probed 60M
+      // rows through the join and the two-key hash table for the
+      // identical result.
+      // Scaled-long fast path (q01 pattern, bit-identical unscale
+      // proven there): pd4 ≤ 1.1e9 per row; a single long sum binds at
+      // ~8.4e9 rows in ONE partkey group — TPC-H holds lines-per-part
+      // at ~30 independent of SF, so no hi/lo split needed here.
+      val pd4 = (round(col("l_extendedprice") * 100).cast(LongType) *
+        (lit(100L) - round(col("l_discount") * 100).cast(LongType))).as("pd4")
+      val rev = t.lineitem
+        .select(col("l_partkey"), pd4)
+        .groupBy(col("l_partkey"))
+        .agg(dbl(sum(col("pd4")).cast(DecimalType(38, 0)) / lit(10000L)).as("revenue"))
+      val pr = rev.join(t.part, col("p_partkey") === col("l_partkey"))
+        .select(col("p_brand"), col("p_partkey"), col("revenue"))
       val w = Window.partitionBy(col("p_brand")).orderBy(col("revenue").desc, col("p_partkey"))
       pr.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .orderBy(col("p_brand"), col("rnk"))
-      // Twin layout: the partkey join is this plan's whole cost — with
-      // lineitem on the primary (orderkey) layout the fact side pays a
-      // full shuffle against bk_part (past broadcast at 100×, ~20M
-      // rows). The l_partkey twin planes it exchange-free (r15; r14
-      // verdict weak mark #1: 7.8 s vs DuckDB 0.42 calm at 100×).
+      // Twin layout: the l_partkey twin makes the pushed-down
+      // aggregation exchange-free (scan partitioning already clusters
+      // the group key) and co-locates the join with bk_part (r15; r14
+      // verdict weak mark #1).
     }.withTwinLayout("lineitem" -> "lineitem_pk"),
 
     // ------------------------------------------------------------------
@@ -372,16 +387,29 @@ object RelationalQueries {
         |GROUP BY c_custkey, c_name
         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
       val t = Tables(s, dir)
+      // Join-then-aggregate, deliberately: the pre-aggregate-orders
+      // rewrite MEASURED WORSE on the twin layout (same-day calm
+      // floors at 100×: pre-agg 3.50 s / 55–74 s task-CPU vs this
+      // form 1.79 s / 23 s — ISOLATED100_r15_twinagg vs _twin). With
+      // both sides bucketed+sorted on the custkey the outer join is
+      // one streaming exchange-free SMJ fused in whole-stage codegen;
+      // splitting the aggregate out breaks the fusion for no shuffle
+      // saved. Spend sums on the q01 scaled-long path (cents ≤ 5.5e7
+      // per row → single long sum binds at ~1.7e11 orders per
+      // customer; TPC-H holds ~10).
+      val spCents = round(col("o_totalprice") * 100).cast(LongType)
       t.customer.join(t.orders, col("o_custkey") === col("c_custkey"), "left")
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(
           count(col("o_orderkey")).as("n_orders"),
-          dbl(coalesce(sum(dec2(col("o_totalprice"))), lit(0))).as("total_spent"))
+          dbl(coalesce(sum(spCents).cast(DecimalType(38, 0)), lit(0)) / lit(100L))
+            .as("total_spent"))
         .orderBy(col("c_custkey"))
-      // Twin layout: custkey join + custkey grouping — the o_custkey
-      // twin co-locates orders with bk_customer AND feeds the groupBy
-      // partitioning, so the only exchange left is the final order
-      // (r15; r14 verdict weak mark #2: 4.4 s vs DuckDB 0.28 at 100×).
+      // Twin layout: the o_custkey twin co-locates orders with
+      // bk_customer, removing both join exchanges AND both sorts
+      // (trusted per-bucket order), and the custkey grouping rides the
+      // same partitioning — only the final order-by exchanges
+      // (r15; r14 verdict weak mark #2).
     }.withTwinLayout("orders" -> "orders_ck"),
 
     // ------------------------------------------------------------------
