@@ -67,7 +67,12 @@ object AnalyticsQueries {
         lag(col("o_totalprice"), 1).over(w).as("prev_price"),
         lead(col("o_totalprice"), 1).over(w).as("next_price"))
         .orderBy(col("o_orderkey"))
-    },
+      // Twin layout (r15): the window clusters on o_custkey — the
+      // primary (orderkey) bucketed layout paid the custkey exchange
+      // AND capped the scan at 64 single-file tasks (calm-pair A/B:
+      // bucketed 3.70 s vs plain 2.90 at 100×, ISOLATED100_r15_pinsB/P);
+      // the o_custkey twin removes the window exchange instead.
+    }.withTwinLayout("orders" -> "orders_ck"),
 
     // ------------------------------------------------------------------
     // q46 — ntile quartiles over a GLOBAL order. A literal global
