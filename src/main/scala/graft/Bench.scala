@@ -257,7 +257,13 @@ private[graft] object BenchKernel {
     * failure mode the r14 official artifact paid ~30 s through).
     */
   def stormSignature(fast: Timing, slow: Timing): Boolean = {
-    val flatInput = fast.inputMb <= 0 || slow.inputMb <= 0 ||
+    // the cpu-inflation arm needs BOTH input counts actually present
+    // (r15 ADVICE): a sample whose IO metrics failed to report —
+    // listener miss, sub-MB scan rounding to zero — must not default
+    // to "flat input" and buy extra samples on ordinary CPU jitter;
+    // such samples fall back to the hostAnomaly arm and the caller's
+    // >1.5× wall-spread rule
+    val flatInput = fast.inputMb > 0 && slow.inputMb > 0 &&
       math.abs(fast.inputMb - slow.inputMb).toDouble <=
         0.1 * math.max(math.max(fast.inputMb, slow.inputMb), 1L)
     val cpuInflated = flatInput && fast.taskCpuMs > 0 &&
@@ -393,6 +399,23 @@ object Bench {
     }
     def sample(name: String): BenchKernel.Timing =
       BenchKernel.timeOnceDetail(spark, sfDir, name, regime)
+    // per-query EXTRA sample counts (r15 ADVICE): storm-aware
+    // re-sampling makes the published metric min-of-up-to-4, and a
+    // lower min is partly expected from more draws even under pure
+    // noise — the artifact records which queries drew extras so
+    // cross-round ratio claims can be audited for sampling asymmetry
+    // (the suite-level timed_runs alone can't say WHERE)
+    val extraSamples = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // Compact keys + 3-decimal values: rounds 1-2 emitted the full
+    // query names and raw nanosecond-derived doubles, pushing the JSON
+    // line past the harness' stdout-tail parse window (BENCH_r01/r02
+    // both recorded "parsed": null with the line intact but truncated
+    // at the front). "q01_pricing_summary" -> "q01",
+    // "flight_q1_airline_counts" -> "fq1"; the full mapping is the
+    // sorted SparkEntry.queries key list.
+    def shortKey(name: String): String =
+      if (name.startsWith("flight_q")) "fq" + name.stripPrefix("flight_q").takeWhile(_.isDigit)
+      else name.takeWhile(_ != '_')
     val results = names.map { name =>
       val a = sample(name)
       val b = if (runs <= 1) a else if (a.sec >= 0) sample(name) else a
@@ -415,27 +438,23 @@ object Bench {
         }
         var extras = 0
         while (extras < 2 && suspect) { samples += sample(name); extras += 1 }
+        if (extras > 0) extraSamples(shortKey(name)) = extras
         name -> samples.map(_.sec).filter(_ >= 0).min
       }
     }
-    // Compact keys + 3-decimal values: rounds 1-2 emitted the full
-    // query names and raw nanosecond-derived doubles, pushing the JSON
-    // line past the harness' stdout-tail parse window (BENCH_r01/r02
-    // both recorded "parsed": null with the line intact but truncated
-    // at the front). "q01_pricing_summary" -> "q01",
-    // "flight_q1_airline_counts" -> "fq1"; the full mapping is the
-    // sorted SparkEntry.queries key list.
-    def shortKey(name: String): String =
-      if (name.startsWith("flight_q")) "fq" + name.stripPrefix("flight_q").takeWhile(_.isDigit)
-      else name.takeWhile(_ != '_')
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // extra_samples: ONLY the queries that drew storm re-samples (the
+    // default is runs-per-query = 2, or 1 under SPARK_GRAFT_RUNS=1),
+    // so the object stays small — empty on a calm pass
+    val es = extraSamples.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     // regime: the aggregate host-weather fields for THIS artifact
     // (per-query rows live in bench_regime.jsonl); ~110 chars, inside
     // the driver's stdout-tail parse budget
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"regime_all_runs":${regime.json},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"base_runs":$runs,"extra_samples":$es,"regime_all_runs":${regime.json},"sf":"$sfDir"}"""
     // Durable copy for humans/tools that miss the stdout tail.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_last.json"),

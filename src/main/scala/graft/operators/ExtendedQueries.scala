@@ -234,9 +234,17 @@ object ExtendedQueries {
       // one shuffle total: hash-partitioning on o_custkey alone
       // satisfies the (o_custkey, o_orderdate) groupBy clustering AND
       // the window's partitioning, so the daily rollup and the
-      // history windows all run inside the same exchange
-      val daily = Tables(s, dir).orders
-        .repartition(col("o_custkey"))
+      // history windows all run inside the same exchange.
+      // On the o_custkey twin (r16) the SCAN already arrives hashed
+      // on the key, so the manual repartition — which
+      // EnsureRequirements never removes, being user-demanded — would
+      // shuffle the fact for nothing: skip it and let the rollup and
+      // windows ride the bucketed partitioning, zero exchanges.
+      val src = Tables(s, dir).orders
+      val clustered =
+        if (graft.sources.BucketedWarehouse.twinActive(s, dir, "orders")) src
+        else src.repartition(col("o_custkey"))
+      val daily = clustered
         .groupBy(col("o_custkey"), col("o_orderdate"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
@@ -253,7 +261,7 @@ object ExtendedQueries {
         dbl(sum(col("spend")).over(cum)).as("spend_to_date"),
         lead(col("o_orderdate"), 1).over(w).isNull.cast(IntegerType).as("is_current"))
         .orderBy(col("o_custkey"), col("effective_from"))
-    },
+    }.withTwinLayout("orders" -> "orders_ck"),
 
     // ------------------------------------------------------------------
     // q81 — column profiler: the data-quality primitive a pipeline

@@ -183,6 +183,25 @@ object BucketedWarehouse {
     * falling back twin → primary → plain so a warehouse without the
     * twin stays correct, just slower.
     */
+  /** True iff a twin-preferring read of `name` would resolve its twin
+    * — the same probes [[resolve]] runs (marker, catalog, layout),
+    * memoized the same way. For query shapes that drop a MANUAL
+    * clustering exchange when the scan already arrives bucketed on
+    * that key (q80's `repartition(o_custkey)`): `EnsureRequirements`
+    * only removes exchanges it inserted itself, so a user repartition
+    * over an already-co-bucketed scan would shuffle the fact for
+    * nothing, and the query shape has to make the call at build time.
+    */
+  def twinActive(spark: SparkSession, sfDir: String, name: String): Boolean =
+    !LayoutPreference.plainPinned && whDir.exists { wh =>
+      LayoutPreference.twinFor(name).exists { suffix =>
+        twins.get(suffix).exists { case (logical, _, buckets) =>
+          logical == name &&
+            resolveTable(spark, wh, sfDir, suffix, buckets).isDefined
+        }
+      }
+    }
+
   def resolve(
       spark: SparkSession, sfDir: String, name: String): Option[DataFrame] =
     whDir.filter(_ => tables.contains(name) && !LayoutPreference.plainPinned)

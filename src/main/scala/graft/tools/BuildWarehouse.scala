@@ -58,9 +58,17 @@ object BuildWarehouse {
     val all: Seq[(String, (String, String, Int))] =
       BucketedWarehouse.tables.toSeq.map { case (n, (k, b)) => n -> ((n, k, b)) } ++
         BucketedWarehouse.twins.toSeq
+    // EVERY requested name must be known (r15 ADVICE): a typo'd twin
+    // name used to be silently dropped as long as one name was valid,
+    // and resolve's twin→primary→plain fallback would then quietly
+    // bench the wrong layout with no error anywhere
+    val known = all.map(_._1).toSet
+    require(wanted.forall(known),
+      s"unknown tables: ${(wanted -- known).toSeq.sorted.mkString(", ")} — " +
+        s"known: ${known.toSeq.sorted.mkString(", ")}")
     val todo = all.filter { case (phys, _) => wanted.isEmpty || wanted(phys) }
     require(todo.nonEmpty, s"no such tables: $wanted — " +
-      s"known: ${all.map(_._1).sorted.mkString(", ")}")
+      s"known: ${known.toSeq.sorted.mkString(", ")}")
     todo.foreach { case (phys, (logical, key, buckets)) =>
       val t0 = System.nanoTime()
       BucketedTables.writeBucketed(src(logical), s"bk_$phys", key, buckets)

@@ -31,7 +31,17 @@ object ScanAudit {
         val over = d.byLogicalTable(counts)
           .filter { case (t, c) => c > d.scanBudget(t) }
         if (hot.nonEmpty || over.nonEmpty) {
-          val mark = if (over.nonEmpty) "OVER-BUDGET" else ""
+          // over-budget lines carry the FOLDED logical counts (r15
+          // ADVICE): a logical table whose scans split across twin
+          // layouts can be over budget with every raw name below
+          // minScans — the raw hot list alone would hide which
+          // layouts contributed
+          val mark =
+            if (over.nonEmpty)
+              over.toSeq.sorted
+                .map { case (t, c) => s"$t=$c>budget${d.scanBudget(t)}" }
+                .mkString("OVER-BUDGET[", ", ", "]")
+            else ""
           println(f"${d.name}%-28s ${hot.map { case (t, c) => s"$t x$c" }.mkString(", ")}%-36s $mark")
         }
       } catch {
