@@ -310,6 +310,15 @@ private[graft] object BenchKernel {
     val cpu0 = graft.tools.JvmProbe.cpuTimes.toMap
     val gc0 = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).sum
+    // r16 (suite-tax attribution): JIT compilation time and loaded-class
+    // deltas per slot. 132 queries in one JVM generate thousands of
+    // codegen classes; if a slot's tax over its fresh-JVM floor came
+    // from compiler threads competing for cores or class-load churn,
+    // these two fields show it — if they read near zero on a taxed
+    // slot, the JIT hypothesis is refuted for that slot.
+    val jit0 = Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported).map(_.getTotalCompilationTime).getOrElse(-1L)
+    val cls0 = java.lang.management.ManagementFactory.getClassLoadingMXBean.getTotalLoadedClassCount
     val sw0 = ioListener.shuffleWrite.get()
     val sp0 = ioListener.spill.get()
     val br0 = ioListener.bytesRead.get()
@@ -324,6 +333,10 @@ private[graft] object BenchKernel {
     val cpu1 = graft.tools.JvmProbe.cpuTimes.toMap
     val gc1 = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).sum
+    val jit1 = Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported).map(_.getTotalCompilationTime).getOrElse(-1L)
+    val cls1 = java.lang.management.ManagementFactory.getClassLoadingMXBean.getTotalLoadedClassCount
+    val jitMs = if (jit0 < 0 || jit1 < 0) -1L else jit1 - jit0
     val swMb = (ioListener.shuffleWrite.get() - sw0) / (1 << 20)
     val spMb = (ioListener.spill.get() - sp0) / (1 << 20)
     def d(k: String): Long =
@@ -342,7 +355,8 @@ private[graft] object BenchKernel {
       f""""sys_share":$sysShare%.3f,"host_iowait_share":$ioShare%.3f,""" +
       s""""gc_ms":${gc1 - gc0},""" +
       f""""host_steal_share":$stealShare%.3f,""" +
-      s""""input_mb":$brMb,"task_ms":$trMs,"task_cpu_ms":$tcMs}""")
+      s""""input_mb":$brMb,"task_ms":$trMs,"task_cpu_ms":$tcMs,""" +
+      s""""jit_ms":$jitMs,"classes_loaded":${cls1 - cls0}}""")
     if (totals != null && ok) {
       totals.timedRuns += 1
       totals.shuffleWriteMb += swMb

@@ -240,6 +240,9 @@ object ExtendedQueries {
       // EnsureRequirements never removes, being user-demanded — would
       // shuffle the fact for nothing: skip it and let the rollup and
       // windows ride the bucketed partitioning, zero exchanges.
+      // Measured (r16, same-day 100× floors): 1.779 s calm pair on
+      // the twin vs ~2.05–2.5 primary (no calm pair landed on the
+      // noisier baseline attempts) — kept.
       val src = Tables(s, dir).orders
       val clustered =
         if (graft.sources.BucketedWarehouse.twinActive(s, dir, "orders")) src

@@ -196,17 +196,22 @@ object RelationalQueries {
         .groupBy(col("n_name"))
         .agg(dbl(sum(dec2(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
-      // Twin layout (r16 ledger sweep, r15 verdict item 5): the
-      // customer⋈orders leg runs on o_custkey — on the primary layout
-      // (orders bucketed by o_orderkey) it exchanges the date-filtered
-      // orders AND customer; on the o_custkey twin both sides arrive
-      // co-bucketed and the leg is exchange-free. The downstream
-      // lineitem join exchanges the joined output by o_orderkey in
-      // EITHER layout (the custkey join's output partitioning never
-      // satisfies the orderkey clustering), so the twin strictly
-      // removes one fact-scale shuffle. Same-day calm floors at 100×:
-      // see ISOLATED100_r16_base (primary) vs _twins.
-    }.withTwinLayout("orders" -> "orders_ck"),
+      // Twin layout — MEASURED NEGATIVE RESULT, primary kept (r16
+      // ledger sweep, r15 verdict item 5). Hypothesis: the
+      // customer⋈orders leg runs on o_custkey, so the o_custkey twin
+      // should remove its exchange. The 100× plan refutes the premise:
+      // customer BROADCASTS into orders (no custkey shuffle exists on
+      // any layout), while on the primary layout the downstream
+      // orders⋈lineitem SMJ is exchange-free (both bucketed on the
+      // order key) — twin routing would trade that zero for a
+      // fact-scale Exchange(o_orderkey) above the broadcast join.
+      // Same-day floors at 100×: primary 2.675 calm
+      // (ISOLATED100_r16_base) vs twin 4.416 calm
+      // (ISOLATED100_r16_twins) — the twin loses 1.65×. Lesson for
+      // future sweeps: a foreign-key join leg only wants the twin when
+      // the DIM side is too big to broadcast AND no downstream join
+      // rides the primary bucketing.
+    },
 
     // ------------------------------------------------------------------
     // q06 — scalar aggregate over a pushed range filter (no groupBy).
@@ -429,7 +434,13 @@ object RelationalQueries {
       // re-executes all of it, so the query's heaviest stage runs
       // TWICE for one answer. One scoped persist of the ~|customer|
       // grouped rows makes the sampling job a cache scan and the
-      // shuffle map a cache read.
+      // shuffle map a cache read. Measured (r16, same-day calm pairs
+      // at 100×): 1.653 → 1.477 s — an 11% win, well short of the
+      // hoped-for ~2× because the sampling pass was already cheap
+      // relative to the join-agg it re-executed: the twin SMJ streams
+      // at scan speed and the range sampler only reads a row-count
+      // sized sample of it. Kept: strictly positive, and the persist
+      // is |customer|-sized (bounded) at any SF.
       CacheScope.scopedIfLarge(grouped).orderBy(col("c_custkey"))
     }.withTwinLayout("orders" -> "orders_ck"),
 
