@@ -118,6 +118,51 @@ private[graft] object BenchKernel {
   // counter that actually grew)
   val probe: Boolean = sys.env.get("SPARK_GRAFT_PROBE").contains("1")
 
+  /** In-process stack sampler (r16, probe mode only): every ~100 ms
+    * record the top frame of each RUNNABLE "Executor task launch
+    * worker" thread via ThreadMXBean. Per-slot histograms go into the
+    * probe line, so a taxed in-suite slot can be diffed against its
+    * isolated run by WHERE the task cycles went (external jstack
+    * attach proved unreliable mid-suite, and JFR perturbs the JIT
+    * enough to erase the very tax under investigation — measured:
+    * in-prefix q128 19.9→14.8 s under JFR while isolated ROSE
+    * 11.2→16.6). Sampling reads stack depth 1 of ≤32 threads at
+    * 10 Hz — overhead is noise against 32 busy cores.
+    */
+  private object StackSampler {
+    private val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+    private val hist = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    @volatile private var on = false
+    private val t = new Thread("graft-stack-sampler") {
+      override def run(): Unit = while (true) {
+        if (on) {
+          val infos = tmx.getThreadInfo(tmx.getAllThreadIds, 2)
+          infos.foreach { ti =>
+            if (ti != null && ti.getThreadState == Thread.State.RUNNABLE &&
+              ti.getThreadName.startsWith("Executor task launch") &&
+              ti.getStackTrace.nonEmpty) {
+              val st = ti.getStackTrace
+              // skip the Unsafe/native leaf to land on the Spark frame
+              val f = st.find(e => !e.getClassName.startsWith("jdk.internal") &&
+                !e.getClassName.startsWith("sun.")).getOrElse(st(0))
+              hist.merge(s"${f.getClassName}.${f.getMethodName}", 1L, (a, b) => a + b)
+            }
+          }
+        }
+        Thread.sleep(100)
+      }
+    }
+    t.setDaemon(true)
+    def start(): Unit = { hist.clear(); on = true; if (!t.isAlive) t.start() }
+    /** Stop and return the top-k (frame, samples) pairs. */
+    def stopTop(k: Int): Seq[(String, Long)] = {
+      on = false
+      import scala.jdk.CollectionConverters._
+      hist.asScala.toSeq.map { case (f, n) => (f, n.longValue) }
+        .sortBy(-_._2).take(k)
+    }
+  }
+
   /** Per-query IO accounting (r11 regime fields): shuffle bytes
     * written + spill across the tasks of a timing window. Registered
     * once per session; [[timeOnce]] snapshots the monotone totals
@@ -307,6 +352,7 @@ private[graft] object BenchKernel {
     HeapPin.regrow()
     settleScratch(spark)
     val before = if (probe) graft.tools.JvmProbe.snapshot(spark) else Nil
+    if (probe) StackSampler.start()
     val cpu0 = graft.tools.JvmProbe.cpuTimes.toMap
     val gc0 = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).sum
@@ -337,6 +383,15 @@ private[graft] object BenchKernel {
       .filter(_.isCompilationTimeMonitoringSupported).map(_.getTotalCompilationTime).getOrElse(-1L)
     val cls1 = java.lang.management.ManagementFactory.getClassLoadingMXBean.getTotalLoadedClassCount
     val jitMs = if (jit0 < 0 || jit1 < 0) -1L else jit1 - jit0
+    // CodeHeap occupancy at slot end (MB, all segments summed): the
+    // JVM's compiled-code arena is a fixed 240 MB by default, and a
+    // long suite's thousands of codegen classes can push it into
+    // sweep/flush territory where hot methods run deoptimized — the
+    // q128-class suite tax. A taxed slot at near-capacity occupancy
+    // confirms the mechanism; one far below refutes it.
+    val codeCacheMb = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(_.getName.startsWith("CodeHeap"))
+      .map(_.getUsage.getUsed).sum / (1 << 20)
     val swMb = (ioListener.shuffleWrite.get() - sw0) / (1 << 20)
     val spMb = (ioListener.spill.get() - sp0) / (1 << 20)
     def d(k: String): Long =
@@ -356,7 +411,8 @@ private[graft] object BenchKernel {
       s""""gc_ms":${gc1 - gc0},""" +
       f""""host_steal_share":$stealShare%.3f,""" +
       s""""input_mb":$brMb,"task_ms":$trMs,"task_cpu_ms":$tcMs,""" +
-      s""""jit_ms":$jitMs,"classes_loaded":${cls1 - cls0}}""")
+      s""""jit_ms":$jitMs,"classes_loaded":${cls1 - cls0},""" +
+      s""""code_cache_mb":$codeCacheMb}""")
     if (totals != null && ok) {
       totals.timedRuns += 1
       totals.shuffleWriteMb += swMb
@@ -367,9 +423,12 @@ private[graft] object BenchKernel {
     }
     if (probe) {
       val after = graft.tools.JvmProbe.snapshot(spark)
+      val frames = StackSampler.stopTop(10)
+        .map { case (f, n) => s""""$f":$n""" }.mkString("{", ",", "}")
       probeLine(s"""{"q":"$name","ok":$ok,"sec":${f"$dt%.3f"},""" +
         s""""before":${graft.tools.JvmProbe.jsonObject(before)},""" +
-        s""""after":${graft.tools.JvmProbe.jsonObject(after)}}""")
+        s""""after":${graft.tools.JvmProbe.jsonObject(after)},""" +
+        s""""hot_frames":$frames}""")
     }
     Timing(if (ok) dt else -1.0, tcMs, brMb, sysShare, stealShare)
   }

@@ -516,6 +516,10 @@ object RelationalQueries {
 
     // ------------------------------------------------------------------
     // q18 — time-bucketed aggregation (date_trunc month).
+    // Twin-sweep candidate closure (r16, r15 verdict item 5): no twin
+    // applies — the query has no join at all, and neither fact
+    // bucketing satisfies a month clustering; the only exchange moves
+    // the ~|months| partial-aggregate rows, already minimal.
     QueryDef.sql(
       "q18_monthly_orders",
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,

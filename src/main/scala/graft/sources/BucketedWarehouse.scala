@@ -202,6 +202,20 @@ object BucketedWarehouse {
       }
     }
 
+  /** True iff a read of `name` would resolve ANY bucketed layout
+    * (twin or primary) rather than plain parquet — for query shapes
+    * that differ structurally by layout (r16: q128 generates pairs by
+    * co-bucketed self-join when the fact arrives hash(l_orderkey) —
+    * exchange-free and fully codegen — but by collect_set + kernel
+    * explode on plain parquet, where the join form would shuffle the
+    * fact three times).
+    */
+  def bucketedActive(spark: SparkSession, sfDir: String, name: String): Boolean =
+    twinActive(spark, sfDir, name) ||
+      (!LayoutPreference.plainPinned && tables.contains(name) && whDir.exists { wh =>
+        resolveTable(spark, wh, sfDir, name, tables(name)._2).isDefined
+      })
+
   def resolve(
       spark: SparkSession, sfDir: String, name: String): Option[DataFrame] =
     whDir.filter(_ => tables.contains(name) && !LayoutPreference.plainPinned)

@@ -43,6 +43,7 @@ object JvmProbe {
       "disk_scratch_files" -> diskFiles,
       "disk_scratch_mb" -> diskBytes / (1 << 20),
       "mem_store_mb" -> org.apache.spark.graft.SparkStateProbe.memoryStoreBytes(sc) / (1 << 20),
+      "exec_mem_mb" -> org.apache.spark.graft.SparkStateProbe.executionMemoryBytes(sc) / (1 << 20),
       "rdd_blocks" -> rddBlocks.toLong,
       "broadcast_blocks" -> bcBlocks.toLong,
       "other_blocks" -> otherBlocks.toLong) ++ cpuTimes

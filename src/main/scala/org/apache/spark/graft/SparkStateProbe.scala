@@ -55,6 +55,19 @@ object SparkStateProbe {
   def memoryStoreBytes(sc: SparkContext): Long =
     sc.env.memoryManager.storageMemoryUsed
 
+  /** Bytes of EXECUTION memory the unified manager still counts as
+    * acquired (r16 suite-tax hunt). Between queries this must read
+    * zero — every task releases its consumers on completion. A
+    * non-zero reading at a slot boundary means leaked task-memory
+    * bookkeeping, which silently shrinks every later task's fair
+    * share (pool / 2·activeTasks floor) until hash aggregates fail
+    * to grow and drop to the sort-based + interpreted-projection
+    * fallback — the q128 suite-tax signature (same input, same
+    * shuffle, 2.4× task-CPU, sort frames hot in the JFR profile).
+    */
+  def executionMemoryBytes(sc: SparkContext): Long =
+    sc.env.memoryManager.executionMemoryUsed
+
   /** Live block counts by family: (rdd, broadcast, other). */
   def blockCounts(sc: SparkContext): (Int, Int, Int) = {
     val ids = sc.env.blockManager.getMatchingBlockIds((_: BlockId) => true)

@@ -23,7 +23,10 @@ done
 # THP path inside its timing (r13 measured: q48 first-run 99 s at
 # sys 0.75 and 6x thread-CPU, settling to 12 s once the heap was
 # grown; same signature as the in-suite single-slot storms).
-exec java $ADD_OPENS \
+# GRAFT_JAVA_OPTS: extra JVM flags for A/B experiments (e.g.
+# -XX:ReservedCodeCacheSize=1g when probing code-cache pressure) —
+# never set by the driver, empty by default.
+exec java $ADD_OPENS ${GRAFT_JAVA_OPTS:-} \
   -Xms"${SPARK_DRIVER_MEM:-8g}" -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -XX:+AlwaysPreTouch \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
