@@ -20,8 +20,13 @@ object PlanDump {
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println(graft.SparkEntry.queries(name)(spark, sfDir)
-      .queryExecution.executedPlan.toString)
+    // "formatted" explain (r16): the judged plan artifacts under
+    // plans/ must carry the numbered operator list with PushedFilters
+    // / ReadSchema / join build sides, which executedPlan.toString
+    // omits — guide §7.2 / §1 item "capture .explain(formatted)"
+    val qe = graft.SparkEntry.queries(name)(spark, sfDir).queryExecution
+    println(qe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
     spark.stop()
   }
 }
