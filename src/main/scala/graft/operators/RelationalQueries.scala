@@ -441,7 +441,23 @@ object RelationalQueries {
       // at scan speed and the range sampler only reads a row-count
       // sized sample of it. Kept: strictly positive, and the persist
       // is |customer|-sized (bounded) at any SF.
-      CacheScope.scopedIfLarge(grouped).orderBy(col("c_custkey"))
+      //
+      // TWIN-GATED (r16 follow-up): the rationale above only holds
+      // when no exchange sits below the sort — i.e. on the twin. On
+      // plain/primary layouts the join's own shuffle IS a
+      // materialization barrier (the sampling job re-reads the
+      // upstream shuffle files, not the scans), so the persist buys
+      // nothing and costs a cache write inside the timed window —
+      // measured at sf0.1 plain: 0.43 s (r15, no persist) → ~0.9 s
+      // isolated fresh-JVM ×3 with the unconditional persist; gated,
+      // it returns to the r15 shape (the 16 MB scopedIfLarge floor
+      // never skips it here because the optimizer's join-size
+      // ESTIMATE crosses 16 MB even at sf0.1).
+      val preSort =
+        if (graft.sources.BucketedWarehouse.twinActive(s, dir, "orders"))
+          CacheScope.scopedIfLarge(grouped)
+        else grouped
+      preSort.orderBy(col("c_custkey"))
     }.withTwinLayout("orders" -> "orders_ck"),
 
     // ------------------------------------------------------------------

@@ -293,6 +293,27 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q13 layout-gated persist: on plain parquet the grouped output is NOT materialized") {
+    // r16: the pre-sort persist exists for the TWIN layout, where no
+    // exchange sits below the range sort and the bounds-sampling job
+    // would re-execute the whole fact-scale SMJ+agg. On plain parquet
+    // the join's own shuffle is the materialization barrier (the
+    // sampling job re-reads shuffle files), so the persist buys
+    // nothing and measurably cost ~0.5 s at sf0.1 when unconditional
+    // (0.43 r15 → ~0.9 isolated). The 16 MB scopedIfLarge floor can't
+    // gate this one: the optimizer's JOIN-size estimate crosses it
+    // even at sf0.1. Twin-side persist presence is pinned by the
+    // committed plan evidence (plans/r16/q13_after.txt) — a spec JVM
+    // cannot switch warehouses (see BucketedWarehouseSpec header).
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val df = SparkEntry.queries("q13_customer_order_counts")(spark, dir)
+    val imrs = df.queryExecution.withCachedData
+      .collect { case r: InMemoryRelation => r }
+    assert(imrs.isEmpty,
+      s"q13 on plain parquet: expected no persist below the sort, found ${imrs.size}")
+    CacheScope.drain()
+  }
+
   test("q111/q125 size-conditional persist: below the threshold the du subtree is NOT materialized") {
     // their shared distinct-(day,user) subtree moved to scopedIfLarge
     // in r8: at tiny SF the optimizer estimate (~kBs) is far below
