@@ -304,13 +304,22 @@ private[graft] object BenchKernel {
   def stormSignature(fast: Timing, slow: Timing): Boolean = {
     // the cpu-inflation arm needs BOTH input counts actually present
     // (r15 ADVICE): a sample whose IO metrics failed to report —
-    // listener miss, sub-MB scan rounding to zero — must not default
-    // to "flat input" and buy extra samples on ordinary CPU jitter;
-    // such samples fall back to the hostAnomaly arm and the caller's
-    // >1.5× wall-spread rule
-    val flatInput = fast.inputMb > 0 && slow.inputMb > 0 &&
-      math.abs(fast.inputMb - slow.inputMb).toDouble <=
-        0.1 * math.max(math.max(fast.inputMb, slow.inputMb), 1L)
+    // a listener miss — must not default to "flat input" and buy
+    // extra samples on ordinary CPU jitter; such samples fall back to
+    // the hostAnomaly arm and the caller's >1.5× wall-spread rule.
+    // r16 verdict gap: queries whose scans round to 0 MB on BOTH
+    // samples (q92/q93 class) thereby lost cpu-inflation protection
+    // entirely, and the r16 driver pass published a 6× phantom
+    // regression on q93. A CONSISTENT double-zero is a genuinely
+    // sub-MB scan, not a miss (a listener miss zeroes one side,
+    // leaving a 0-vs-positive mismatch that stays excluded); the fast
+    // side's 100 ms task-CPU floor keeps trivial-work jitter from
+    // buying samples where CPU inflation is meaningless anyway.
+    val flatInput =
+      (fast.inputMb > 0 && slow.inputMb > 0 &&
+        math.abs(fast.inputMb - slow.inputMb).toDouble <=
+          0.1 * math.max(math.max(fast.inputMb, slow.inputMb), 1L)) ||
+      (fast.inputMb == 0 && slow.inputMb == 0 && fast.taskCpuMs >= 100)
     val cpuInflated = flatInput && fast.taskCpuMs > 0 &&
       slow.taskCpuMs > fast.taskCpuMs * 1.4
     val hostAnomaly = slow.stealShare > 0.02 ||
@@ -318,6 +327,21 @@ private[graft] object BenchKernel {
         slow.sysShare > fast.sysShare * 1.5)
     cpuInflated || hostAnomaly
   }
+
+  /** Which table layout this session's scans resolve for `sfDir` —
+    * artifact self-description (r16 verdict item 6: all three r16 wins
+    * live on the bucketed/twin path, invisible to a plain-parquet
+    * bench, and cross-round artifacts must never be compared across
+    * layouts silently). "plain" = no warehouse resolves (the driver's
+    * own runs), "bucketed" = warehouse resolves but twin preferences
+    * are disabled (`GRAFT_NO_TWINS=1` A/B control), "twins" = the full
+    * layout incl. foreign-key fact twins.
+    */
+  def layoutName(spark: SparkSession, sfDir: String): String =
+    if (graft.sources.BucketedWarehouse.resolve(spark, sfDir, "lineitem").isEmpty)
+      "plain"
+    else if (sys.env.get("GRAFT_NO_TWINS").contains("1")) "bucketed"
+    else "twins"
 
   def timeOnce(
       spark: SparkSession,
@@ -520,14 +544,24 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // extra_samples: ONLY the queries that drew storm re-samples (the
-    // default is runs-per-query = 2, or 1 under SPARK_GRAFT_RUNS=1),
-    // so the object stays small — empty on a calm pass
-    val es = extraSamples.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // default is runs-per-query = 2, or 1 under SPARK_GRAFT_RUNS=1) —
+    // empty on a calm pass. r17: compact STRING form "q92,q93x2"
+    // (name alone = 1 extra, xN for more): the r17 zero-input storm
+    // fallback makes many more sub-MB queries eligible for extras, and
+    // the old per-key object form pushed a 59-extras sf0.001 line to
+    // 2406 bytes against the driver's ~2.5 KB stdout-tail parse window
+    // (the rounds-1-2 overflow failure mode). Worst case (132 queries
+    // all drawing extras) now costs ~800 bytes instead of ~1.5 KB.
+    val es = extraSamples
+      .map { case (k, v) => if (v == 1) k else s"${k}x$v" }
+      .mkString(",")
     // regime: the aggregate host-weather fields for THIS artifact
     // (per-query rows live in bench_regime.jsonl); ~110 chars, inside
     // the driver's stdout-tail parse budget
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"base_runs":$runs,"extra_samples":$es,"regime_all_runs":${regime.json},"sf":"$sfDir"}"""
+    // layout: which table layout the artifact measured (r16 verdict
+    // item 6) — cross-round comparisons must not silently span layouts
+    val layout = BenchKernel.layoutName(spark, sfDir)
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"base_runs":$runs,"extra_samples":"$es","regime_all_runs":${regime.json},"layout":"$layout","sf":"$sfDir"}"""
     // Durable copy for humans/tools that miss the stdout tail.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_last.json"),

@@ -184,6 +184,28 @@ class BucketedWarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q13 twin-side persist is present below the final sort (layout-gated persist, twin branch)") {
+    // r16 ADVICE: PlanQualitySpec pins only the PLAIN side of the q13
+    // gate (no persist); the twin side — the half carrying the
+    // measured 11% win — was pinned solely by committed plan text. A
+    // refactor of twin resolution or LayoutPreference scoping could
+    // silently drop it. This registers the twins in-session (same
+    // machinery as the tests above) and asserts the InMemoryRelation
+    // exists on the twin plan.
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    withWarehouse {
+      assert(BucketedWarehouse.twinActive(spark, sfDir, "orders")
+        === false, "twinActive needs the query's twin preference in scope")
+      val d = SparkEntry.defs.find(_.name == "q13_customer_order_counts").get
+      val df = d.build(spark, sfDir)
+      val imrs = df.queryExecution.withCachedData
+        .collect { case r: InMemoryRelation => r }
+      assert(imrs.nonEmpty,
+        "q13 on the twin layout: the pre-sort persist was dropped")
+      graft.CacheScope.drain()
+    }
+  }
+
   test("the partkey twin joins bk_part without an exchange on either side") {
     withWarehouse {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

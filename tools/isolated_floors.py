@@ -69,15 +69,18 @@ def attempt_timing(runs):
 
 def storm_signature(fast, slow):
     """Port of graft.BenchKernel.stormSignature (Bench.scala): does
-    `slow` carry storm evidence relative to `fast`? Mirrors the r16
+    `slow` carry storm evidence relative to `fast`? Mirrors the r17
     in-process rule: the cpu-inflation arm requires BOTH input counts
     present and flat (r15 ADVICE: missing IO metrics must not default
-    to 'flat input')."""
+    to 'flat input'), with the r17 zero-input fallback — a CONSISTENT
+    0 MB on both sides is a genuinely sub-MB scan (q92/q93 class) and
+    keeps cpu-inflation protection above a 100 ms task-CPU floor."""
     if fast is None or slow is None:
         return False
     fi, si = fast["input_mb"], slow["input_mb"]
-    flat_input = fi > 0 and si > 0 and \
-        abs(fi - si) <= 0.1 * max(fi, si, 1)
+    flat_input = (fi > 0 and si > 0 and
+                  abs(fi - si) <= 0.1 * max(fi, si, 1)) or \
+        (fi == 0 and si == 0 and fast["task_cpu_ms"] >= 100)
     cpu_inflated = flat_input and fast["task_cpu_ms"] > 0 and \
         slow["task_cpu_ms"] > fast["task_cpu_ms"] * 1.4
     host_anomaly = slow["steal_share"] > 0.02 or \
@@ -115,6 +118,10 @@ def one_attempt(repo: str, sfdir: str, q: str):
         line = json.load(f)
     sec = line["queries"][shorten(q)]
     regime = line.get("regime_all_runs", line.get("regime", {}))
+    # carry the bench's layout self-description into the regime row so
+    # floor artifacts are never compared across layouts silently (r16
+    # verdict item 6; "plain" default covers pre-r17 bench binaries)
+    regime = dict(regime, layout=line.get("layout", "plain"))
     runs = []
     try:
         with open(regime_path) as f:
