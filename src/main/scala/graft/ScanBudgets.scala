@@ -71,6 +71,15 @@ object ScanBudgets {
     // dominance self-join (skyline): candidate vs challenger sides
     "q127_skyline_parts" -> Map("part" -> 2),
 
+    // staged funnel (r17): one pruned type-filtered scan per stage —
+    // view/click/purchase minima cascade, each min-aggregated map-side
+    // before its |users|-sized exchange, where the one-scan fold form
+    // shipped EVERY funnel event through collect_list + an interpreted
+    // HOF (the q128-class in-suite tax; see EventQueries q87). The
+    // stage subtrees are shared via exchange reuse, so three scans is
+    // the census count, not six.
+    "q87_funnel_conversion" -> Map("events" -> 3),
+
     // MODEL+APPLY class ----------------------------------------------
     // histogram boundaries derived, then rows bucketed
     "q40_price_buckets" -> Map("orders" -> 2),

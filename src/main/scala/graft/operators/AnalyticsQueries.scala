@@ -935,9 +935,19 @@ object AnalyticsQueries {
         |FROM c JOIN t ON c.l_returnflag = t.l_returnflag
         |WHERE 2 * c.cw >= t.tw
         |GROUP BY c.l_returnflag ORDER BY c.l_returnflag""".stripMargin) { (s, dir) =>
+      // Weights ride the q01/q119 scaled-long path (r17, guide §2.3
+      // narrower types / §4 codegen): the r17 100× probe read ~30% of
+      // q120's samples inside Decimal.changePrecision/Decimal.set/
+      // BigDecimal.<init> in this fact-scale hash agg. l_quantity is a
+      // 2-dp-exact decimal stored as double, so round(×100)→long is
+      // exact (ScaledLongSpec's contract), the long SUM cannot
+      // overflow before ~1e16 rows per group, and the crossing test
+      // 2·cw ≥ tw is invariant under a positive constant scale — the
+      // selected median PRICE is bit-identical, and the oracle SQL
+      // keeps the decimal form.
       val a = Tables(s, dir).lineitem
         .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
-        .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).as("w"))
+        .agg(sum(round(col("l_quantity") * 100).cast(LongType)).as("w"))
       // weightedMedian kernel, pinned to its DISTRIBUTED tier
       // (driverTier = false, so not even the probe runs — a failed
       // probe recomputes this unpersisted aggregate, measured 4.1 s):

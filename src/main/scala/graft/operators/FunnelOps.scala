@@ -60,15 +60,25 @@ object FunnelOps {
 
   /** Firehose-safe staged cascade: min-agg per stage, thresholds
     * carried by join — the relational form of the same semantics.
+    * The v and c stage outputs are shared shuffle subtrees (each
+    * feeds the next stage's threshold join AND the final assembly,
+    * and exchange reuse does not fire across the differing consumers
+    * — measured: unpersisted, the census reads 6 events scans and 5
+    * exchanges), so they ride the suite's persist rule for shared
+    * shuffle subtrees via [[graft.CacheScope.scoped]]; both are
+    * |users|-sized at any SF. Callers must drain (Bench/Verify do
+    * after every query).
     */
   def funnelStaged(events: DataFrame): DataFrame = {
     val e = events.select(col("user_id"), col("event_type"), col("ts"))
-    val v = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-    val c = e.filter(col("event_type") === "click")
-      .join(v, "user_id")
-      .filter(col("ts") > col("t_view"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val v = graft.CacheScope.scoped(
+      e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view")))
+    val c = graft.CacheScope.scoped(
+      e.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click")))
     val p = e.filter(col("event_type") === "purchase")
       .join(c, "user_id")
       .filter(col("ts") > col("t_click"))

@@ -926,17 +926,33 @@ object TextQueries {
       val n = vocab.agg(sum(col("c")).cast(DoubleType).as("n_tok"))
       val lp = vocab.crossJoin(broadcast(n))
         .select(col("token"), log(col("c") / col("n_tok")).as("logp"))
-      // position-ordered fold via the fused kernel (one primitive
-      // pass; the composable sort_array + aggregate chain pays an
-      // interpreted comparator + lambda frame per element) — same
-      // left-to-right double adds, so the float32 result is identical
+      // Position-ordered fold as a WINDOW running over (doc_id, pos)
+      // (r17; replaces collect_list(struct) + the PosOrderedSum
+      // kernel): the collect_list TypedImperativeAggregate ran through
+      // ObjectHashAggregate whose 128-key sort-based fallback fires on
+      // every real partition (probe: findNextSortedGroup hot at 100×)
+      // — so the rows were being SORTED anyway, plus per-doc object
+      // buffers and the q128-class interpreted call sites
+      // (getAccessor/BoundReference.eval megamorphic in-suite: 11.7 s
+      // in-suite vs 6.05 isolated calm). The window form pays the
+      // same doc_id exchange + an explicit codegen sort and nothing
+      // else. Exactness: both unbounded-frame aggregates accumulate
+      // rows IN SORT ORDER (pos ascending, unique per doc), so the
+      // double sum is the identical left-to-right add chain the
+      // kernel computed (0.0+v1 ≡ v1: ln never yields −0.0), count ≡
+      // size, and the division promotes to double either way.
+      val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val wAll = wd.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
       tok.join(broadcast(lp), "token")
-        .groupBy(col("doc_id"))
-        .agg(collect_list(struct(col("pos"), col("logp"))).as("lps"))
+        .select(col("doc_id"), col("pos"), col("logp"))
+        .withColumn("tot", sum(col("logp")).over(wAll))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("rn", row_number().over(wd))
+        .filter(col("rn") === 1)
         .select(col("doc_id"),
-          size(col("lps")).as("n_tokens"),
-          (graft.functions.PosOrderedSum(col("lps")) / size(col("lps")))
-            .cast(FloatType).as("avg_logprob"))
+          col("n").cast(IntegerType).as("n_tokens"),
+          (col("tot") / col("n")).cast(FloatType).as("avg_logprob"))
         .orderBy(col("doc_id"))
     },
 
@@ -1130,15 +1146,23 @@ object TextQueries {
       val lp = c2.join(broadcast(c1), "prev").crossJoin(broadcast(v))
         .select(col("prev"), col("w"),
           log((col("c2") + lit(1.0)) / (col("c1") + col("vsz"))).as("logp"))
-      // position-ordered fold via the fused kernel (see q86): same
-      // left-to-right double adds, one primitive pass per document
+      // position-ordered fold as the window running over (doc_id,
+      // pos) — r17, same rewrite and same exactness argument as q86:
+      // the unbounded-frame sum/count accumulate in sort order (the
+      // kernel's left-to-right adds), and the object-agg fallback +
+      // interpreted per-element access disappear from the plan
+      val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val wAll = wd.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
       p.join(broadcast(lp), Seq("prev", "w"))
-        .groupBy(col("doc_id"))
-        .agg(collect_list(struct(col("pos"), col("logp"))).as("lps"))
+        .select(col("doc_id"), col("pos"), col("logp"))
+        .withColumn("tot", sum(col("logp")).over(wAll))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("rn", row_number().over(wd))
+        .filter(col("rn") === 1)
         .select(col("doc_id"),
-          size(col("lps")).as("n_bigrams"),
-          (graft.functions.PosOrderedSum(col("lps")) / size(col("lps")))
-            .cast(FloatType).as("avg_logprob"))
+          col("n").cast(IntegerType).as("n_bigrams"),
+          (col("tot") / col("n")).cast(FloatType).as("avg_logprob"))
         .orderBy(col("doc_id"))
     },
 

@@ -8,8 +8,12 @@ class FunnelOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // drain after every collect: funnelStaged scopes its v/c stage
+  // persists (r17), and the suite must hand CacheScope ownership back
+  // cleanly for whatever spec thread runs next
   private def rows(df: org.apache.spark.sql.DataFrame) =
-    df.collect().map(_.toSeq).toSeq
+    try df.collect().map(_.toSeq).toSeq
+    finally graft.CacheScope.drain()
 
   test("fold and staged forms agree on the events table") {
     val e = Tables(spark, "/root/testdata/sf0.001").events
@@ -46,6 +50,7 @@ class FunnelOpsSpec extends AnyFunSuite {
     // bounded state evidence: the staged plan has no collected arrays /
     // object aggregation buffers — plain (partial) hash aggregates only
     val plan = FunnelOps.funnelStaged(e).queryExecution.executedPlan.toString
+    graft.CacheScope.drain() // the build above scoped the v/c persists
     assert(!plan.contains("collect_list"), "staged form must not collect arrays")
     assert(!plan.contains("ObjectHashAggregate"), "staged form must not use object agg buffers")
   }
