@@ -98,22 +98,23 @@ object EventQueries {
     // q87 — funnel conversion: earliest view → first click after it →
     // first purchase after that, per user; stage reached + step
     // latencies (−1 sentinel keeps the output null-free for hashing).
-    // r17: switched from [[FunnelOps.funnelFold]] (one shuffle:
-    // collect_list + sort_array + `aggregate` HOF) to
-    // [[FunnelOps.funnelStaged]] (three cascaded min-aggregations) —
-    // the r17 100× probe read 65–76% of the fold's samples inside
-    // INTERPRETED expression eval (ArrayAggregate is CodegenFallback:
-    // UnaryExpression.eval / InternalRow.getAccessor / toArray), the
-    // exact shared-call-site profile that goes megamorphic late in a
-    // suite (the r16 q128 mechanism): isolated calm floor 1.434 s at
-    // 100× vs 2.3–5.1 s in-suite across three passes. The staged form
-    // is every-operator-codegen (min aggs partial-aggregate map-side,
-    // §2.3 — the fold ships EVERY funnel event through its shuffle,
-    // collect_list has no map-side reduction), and its per-stage
-    // joins carry |users|-sized sides. Both forms are spec-pinned
-    // row-identical (FunnelOpsSpec, incl. a single-user firehose);
-    // the oracle states the same semantics relationally. Floors at
-    // 100×, same day: fold 1.434 calm → staged (see OPTIMIZATION_r17).
+    // r17: SIZE-ADAPTIVE dispatch ([[FunnelOps.funnelAdaptive]]) —
+    // the ordered fold (one shuffle: collect_list + `aggregate` HOF)
+    // below 64 MB of optimizer-estimated events, the staged
+    // all-codegen min-agg cascade above. The r17 100× probe read
+    // 65–76% of the fold's samples inside INTERPRETED expression eval
+    // (ArrayAggregate is CodegenFallback: UnaryExpression.eval /
+    // InternalRow.getAccessor / toArray), the exact shared-call-site
+    // profile that goes megamorphic late in a suite (the r16 q128
+    // mechanism): isolated calm floor 1.434 s at 100× vs 2.3–5.1 s
+    // in-suite across three passes — while at sf0.1 (events ≈ 2 MB)
+    // the fold's single job beats the cascade's three fixed jobs by
+    // ~0.1 s. The staged form partial-aggregates map-side before each
+    // |users|-sized exchange (§2.3 — the fold ships EVERY funnel
+    // event through its shuffle). Both forms are spec-pinned
+    // row-identical (FunnelOpsSpec, incl. a single-user firehose), so
+    // the dispatch cannot change a bit; the oracle states the same
+    // semantics relationally.
     QueryDef.sql(
       "q87_funnel_conversion",
       """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
@@ -129,7 +130,7 @@ object EventQueries {
         |  CAST(COALESCE(epoch_us(p.t_purchase) - epoch_us(c.t_click), -1) AS BIGINT) AS us_to_purchase
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin) { (s, dir) =>
-      FunnelOps.funnelStaged(Tables(s, dir).events)
+      FunnelOps.funnelAdaptive(Tables(s, dir).events)
     },
 
     // ------------------------------------------------------------------

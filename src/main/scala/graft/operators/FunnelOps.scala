@@ -30,6 +30,34 @@ object FunnelOps {
 
   private val relevant = Seq("view", "click", "purchase")
 
+  /** Stats-bytes gate for [[funnelAdaptive]]: below it the fold's
+    * single shuffle + interpreted per-event fold beats the staged
+    * cascade's three fixed jobs (measured at sf0.1, events ≈ 2 MB:
+    * fold 0.34–0.37 s in-suite across r15/r16 driver artifacts vs
+    * staged 0.44 s); above it the staged form wins and keeps winning —
+    * the fold ships EVERY funnel event through its collect_list
+    * exchange and pays the q128-class megamorphic interpreted-eval
+    * tax in long suites (100×, events 211 MB: fold 2.3–5.1 s in-suite
+    * vs a 1.43 s isolated floor; staged floors 1.635 isolated and is
+    * every-operator codegen). 64 MB = the [[DistributedRank
+    * .SmallStatsBytes]] convention, ~30× above the measured small
+    * side and ~3× below the measured large side.
+    */
+  val FoldMaxStatsBytes: Long = 64L << 20
+
+  /** Size-adaptive funnel (q87's entry): the ordered fold below
+    * [[FoldMaxStatsBytes]] of optimizer-estimated input, the staged
+    * all-codegen cascade above it. Both forms are row-identical
+    * (FunnelOpsSpec pins equality incl. a single-user firehose), so
+    * the dispatch cannot change a result bit.
+    */
+  def funnelAdaptive(
+      events: DataFrame,
+      foldMaxBytes: Long = FoldMaxStatsBytes): DataFrame =
+    if (events.queryExecution.optimizedPlan.stats.sizeInBytes <= foldMaxBytes)
+      funnelFold(events)
+    else funnelStaged(events)
+
   /** One-shuffle ordered fold (q87's shape). */
   def funnelFold(events: DataFrame): DataFrame = {
     val nullTs = lit(null).cast(TimestampType)

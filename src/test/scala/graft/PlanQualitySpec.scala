@@ -134,29 +134,37 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n${p.take(2000)}")
   }
 
-  test("q87: staged funnel is all-codegen — no object aggregation, no collected arrays, bounded exchanges") {
-    // r17: the fold form's `aggregate` HOF is CodegenFallback and its
-    // interpreted call sites carry the q128-class in-suite tax (probe:
-    // 65–76% interpreted samples; isolated 1.434 s vs 2.3–5.1 in-suite
-    // at 100×). The staged cascade pays 3 tiny user-keyed exchanges +
-    // min aggs that partial-aggregate map-side; every operator codegen.
+  test("q87: size-adaptive funnel — fold tier below the stats gate, staged tier all-codegen above it") {
+    // r17 dispatch (FunnelOps.funnelAdaptive): below 64 MB of
+    // optimizer-estimated events the one-shuffle ordered fold wins
+    // (three fixed jobs cost more than the tiny interpreted fold);
+    // above it the staged cascade removes the q128-class interpreted
+    // tax (probe: 65–76% interpreted samples in the fold; isolated
+    // 1.434 s vs 2.3–5.1 in-suite at 100×). Census SF resolves the
+    // fold tier — pin its old shape:
     val p = plan("q87_funnel_conversion")
-    assert(!p.contains("ObjectHashAggregate") && !p.contains("collect_list"),
-      s"funnel must stay on plain hash aggregates:\n${p.take(2000)}")
-    assert(!p.contains("ArrayAggregate") && !p.contains("aggregate("),
-      "funnel must not fold arrays through the interpreted HOF")
-    // exchange counts can't be read from plan TEXT here — the v/c
-    // persists reprint their cached plans per consumer (the q128/q13
-    // census caveat) — so pin the structure instead: exactly the two
-    // |users|-sized stage persists, each an events-derived aggregate
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hashEx == 1, s"fold tier: expected 1 hash exchange, got $hashEx:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "fold tier should not need joins at all")
+    // the staged tier (what >=64 MB corpora resolve), forced through
+    // the dispatch with a zero gate: every operator codegen — no
+    // object aggregation, no interpreted HOF — and exactly the two
+    // |users|-sized v/c stage persists (exchange counts can't be read
+    // from plan TEXT with persists present: cached plans reprint per
+    // consumer, the q128/q13 census caveat)
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
-    val df = SparkEntry.queries("q87_funnel_conversion")(spark, dir)
-    val imrs = df.queryExecution.withCachedData
+    val staged = operators.FunnelOps.funnelAdaptive(
+      Tables(spark, dir).events, foldMaxBytes = 0L)
+    val ps = staged.queryExecution.executedPlan.toString
+    assert(!ps.contains("ObjectHashAggregate") && !ps.contains("collect_list"),
+      s"staged tier must stay on plain hash aggregates:\n${ps.take(2000)}")
+    assert(!ps.contains("ArrayAggregate") && !ps.contains("aggregate("),
+      "staged tier must not fold arrays through the interpreted HOF")
+    val distinctCaches = staged.queryExecution.withCachedData
       .collect { case r: InMemoryRelation => r }
-    // occurrences vary with consumer fan-out (c's cache is read both
-    // by p and by the final assembly) — pin the DISTINCT persists
-    val distinctCaches =
-      imrs.map(_.cacheBuilder.cachedPlan.canonicalized).distinct.size
+      .map(_.cacheBuilder.cachedPlan.canonicalized).distinct.size
     assert(distinctCaches == 2,
       s"expected the v/c stage persists (2 distinct cached relations), got $distinctCaches")
     CacheScope.drain()
