@@ -44,7 +44,7 @@ def replicate(table, sql):
 # doc in replica r -> within-replica dup structure intact; disjoint
 # grams across replicas -> cross-replica Jaccard < threshold)
 replicate('documents', f"""
-  SELECT doc_id + {{r}} * 1000000 AS doc_id,
+  SELECT doc_id + CAST({{r}} AS BIGINT) * 1000000 AS doc_id,
     array_to_string(flatten(list_transform(range(len(string_split(text,' '))),
       i -> CASE WHEN (i % 6) = 5
         THEN [string_split(text,' ')[i+1], 'w{{r}}x' || CAST(i//6 AS VARCHAR)]
@@ -53,7 +53,7 @@ replicate('documents', f"""
   FROM '{SRC}/documents.parquet'""")
 
 replicate('embeddings', f"""
-  SELECT vec_id + {{r}} * 1000000 AS vec_id,
+  SELECT vec_id + CAST({{r}} AS BIGINT) * 1000000 AS vec_id,
     list_transform(range(len(embedding)),
       i -> CAST(embedding[i+1]
         + 0.01 * (((vec_id * 31 + i * 7 + {{r}} * 13) % 17) - 8) AS FLOAT)) AS embedding,
@@ -61,17 +61,17 @@ replicate('embeddings', f"""
   FROM '{SRC}/embeddings.parquet'""")
 
 replicate('orders', f"""
-  SELECT o_orderkey + {{r}} * 10000000 AS o_orderkey, o_custkey,
+  SELECT o_orderkey + CAST({{r}} AS BIGINT) * 10000000 AS o_orderkey, o_custkey,
     o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
   FROM '{SRC}/orders.parquet'""")
 
 replicate('lineitem', f"""
-  SELECT l_orderkey + {{r}} * 10000000 AS l_orderkey, l_partkey, l_suppkey,
+  SELECT l_orderkey + CAST({{r}} AS BIGINT) * 10000000 AS l_orderkey, l_partkey, l_suppkey,
     l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
     l_returnflag, l_linestatus, l_shipdate
   FROM '{SRC}/lineitem.parquet'""")
 
 replicate('events', f"""
-  SELECT event_id + {{r}} * 10000000 AS event_id, ts, user_id,
+  SELECT event_id + CAST({{r}} AS BIGINT) * 10000000 AS event_id, ts, user_id,
     event_type, value, props
   FROM '{SRC}/events.parquet'""")
